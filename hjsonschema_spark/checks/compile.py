@@ -1,0 +1,287 @@
+"""Check IR → Spark plan compiler.
+
+Row-level checks become guarded boolean ``Column``s fused into one
+projection (the "single fused pass per partition" of the north star —
+Catalyst whole-stage-codegens the entire predicate set); table-level
+checks become dedicated aggregate / window / broadcast-join passes.
+
+Three-valued-logic rule (SURVEY.md §2.5): every row predicate is
+wrapped so NULL input ⇒ pass (the columnar analogue of the reference's
+type-mismatch ⇒ vacuous pass, src/JSONSchema/Validator/Draft4.hs:28-33)
+and a NULL predicate result ⇒ fail-closed ``False`` only inside the
+guard, never leaking NULL into the verdict.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hjsonschema_spark.checks.ir import (
+    AllOf,
+    AnyOf,
+    Bounds,
+    Check,
+    ConfigInvalid,
+    Custom,
+    Enum,
+    Length,
+    Monotonic,
+    MultipleOf,
+    Not,
+    NotNullIf,
+    NullRateMax,
+    OneOf,
+    Pattern,
+    RefIntegrity,
+    Required,
+    RowCheck,
+    Contiguous,
+    UniqueKey,
+)
+
+FAILURE_STRUCT = "check string, column string, value string"
+
+
+def _guard(col: Column, pred: Column) -> Column:
+    """NULL value => vacuous pass; NULL predicate => False."""
+    return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
+
+
+def check_id(c: Check) -> str:
+    """Stable human-readable id for a check node (violation labels)."""
+    if isinstance(c, Required):
+        return f"required:{c.column}"
+    if isinstance(c, Enum):
+        return f"enum:{c.column}"
+    if isinstance(c, Bounds):
+        return f"bounds:{c.column}"
+    if isinstance(c, Length):
+        return f"length:{c.column}"
+    if isinstance(c, Pattern):
+        return f"pattern:{c.column}"
+    if isinstance(c, MultipleOf):
+        return f"multiple_of:{c.column}"
+    if isinstance(c, NotNullIf):
+        return f"not_null_if:{c.column}"
+    if isinstance(c, Custom):
+        return f"custom:{c.name}"
+    if isinstance(c, AllOf):
+        return "all_of(" + ",".join(check_id(k) for k in c.checks) + ")"
+    if isinstance(c, AnyOf):
+        return "any_of(" + ",".join(check_id(k) for k in c.checks) + ")"
+    if isinstance(c, OneOf):
+        return "one_of(" + ",".join(check_id(k) for k in c.checks) + ")"
+    if isinstance(c, Not):
+        return f"not({check_id(c.check)})"
+    if isinstance(c, UniqueKey):
+        return "unique_key:" + ",".join(c.columns)
+    if isinstance(c, RefIntegrity):
+        return f"ref_integrity:{','.join(c.columns)}->{c.ref_name}"
+    if isinstance(c, Contiguous):
+        return f"contiguous:{c.order_column}"
+    if isinstance(c, Monotonic):
+        return f"monotonic:{c.column}"
+    if isinstance(c, NullRateMax):
+        return f"null_rate_max:{c.column}"
+    raise ConfigInvalid(f"no id for {type(c).__name__}")
+
+
+def _pcre_predicate(column: str, regex: str) -> Column:
+    """Vectorized Arrow-batched regex for full PCRE parity — the regex
+    is compiled ONCE per python worker via closure, fixing the
+    reference's recompile-per-call anti-pattern (String.hs:70)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _match(s: pd.Series) -> pd.Series:
+        import re
+
+        rx = re.compile(regex)
+        return s.map(lambda x: None if x is None else rx.search(x) is not None)
+
+    return _match(F.col(column))
+
+
+def compile_row_predicate(c: RowCheck) -> Column:
+    """Check → boolean Column, True = pass. Total: never NULL."""
+    if isinstance(c, Required):
+        return F.col(c.column).isNotNull()
+    if isinstance(c, Enum):
+        if len(set(c.values)) != len(c.values):  # non-unique => vacuous
+            return F.lit(True)
+        return _guard(F.col(c.column), F.col(c.column).isin(*c.values))
+    if isinstance(c, Bounds):
+        col = F.col(c.column)
+        preds = []
+        if c.min is not None:
+            preds.append(col > c.min if c.exclusive_min else col >= c.min)
+        if c.max is not None:
+            preds.append(col < c.max if c.exclusive_max else col <= c.max)
+        return _guard(col, reduce(lambda a, b: a & b, preds))
+    if isinstance(c, Length):
+        col = F.col(c.column)
+        preds = []
+        if c.min_len is not None:
+            preds.append(F.length(col) >= c.min_len)
+        if c.max_len is not None:
+            preds.append(F.length(col) <= c.max_len)
+        return _guard(col, reduce(lambda a, b: a & b, preds))
+    if isinstance(c, Pattern):
+        col = F.col(c.column)
+        if c.mode == "pcre":
+            return _guard(col, _pcre_predicate(c.column, c.regex))
+        return _guard(col, col.rlike(c.regex))
+    if isinstance(c, MultipleOf):
+        n = Decimal(str(c.n))
+        if n <= 0:  # reference quirk: non-positive n => vacuous pass
+            return F.lit(True)
+        col = F.col(c.column)
+        dec = "decimal(38,12)"
+        return _guard(col, (col.cast(dec) % F.lit(n).cast(dec)) == 0)
+    if isinstance(c, NotNullIf):
+        cond = F.col(c.when_column).eqNullSafe(F.lit(c.equals))
+        pred = F.when(cond, F.col(c.column).isNotNull()).otherwise(
+            F.col(c.column).isNull() if c.only else F.lit(True)
+        )
+        return F.coalesce(pred, F.lit(False))
+    if isinstance(c, AllOf):
+        return reduce(lambda a, b: a & b, (compile_row_predicate(k) for k in c.checks))
+    if isinstance(c, AnyOf):
+        return reduce(lambda a, b: a | b, (compile_row_predicate(k) for k in c.checks))
+    if isinstance(c, OneOf):
+        total = reduce(
+            lambda a, b: a + b,
+            (compile_row_predicate(k).cast("int") for k in c.checks),
+        )
+        return total == 1
+    if isinstance(c, Not):
+        return ~compile_row_predicate(c.check)
+    if isinstance(c, Custom):
+        return F.coalesce(F.expr(c.expr), F.lit(False))
+    raise ConfigInvalid(f"not a row check: {type(c).__name__}")
+
+
+def _violating_value(c: RowCheck) -> Column:
+    col = getattr(c, "column", None)
+    if col:
+        return F.col(col).cast("string")
+    return F.lit(None).cast("string")
+
+
+def _primary_column(c: RowCheck) -> str | None:
+    return getattr(c, "column", None) or getattr(c, "name", None)
+
+
+def compile_fused_pass(df: DataFrame, checks: list[RowCheck]) -> DataFrame:
+    """ALL row checks in one projection; appends ``_failures``:
+    array<struct<check,column,value>> of the failed checks for the row.
+    All validators run, all failures collected — no short-circuit
+    (src/JSONSchema/Types.hs:20-26)."""
+    structs = [
+        F.when(
+            ~compile_row_predicate(c),
+            F.struct(
+                F.lit(check_id(c)).alias("check"),
+                F.lit(_primary_column(c)).cast("string").alias("column"),
+                _violating_value(c).alias("value"),
+            ),
+        )
+        for c in checks
+    ]
+    if not structs:
+        return df.withColumn("_failures", F.lit([]).cast(f"array<struct<{FAILURE_STRUCT}>>"))
+    return df.withColumn("_failures", F.array_compact(F.array(*structs)))
+
+
+# --------------------------------------------------------------------------
+# table-level passes: each returns a violations DataFrame with schema
+#   key_columns... , check string, column string, value string
+# --------------------------------------------------------------------------
+
+def _as_violations(df: DataFrame, key_columns: tuple, check: str, column: str | None, value: Column) -> DataFrame:
+    cols = [F.col(k) for k in key_columns]
+    return df.select(
+        *cols,
+        F.lit(check).alias("check"),
+        F.lit(column).cast("string").alias("column"),
+        value.cast("string").alias("value"),
+    )
+
+
+def run_unique_key(df: DataFrame, c: UniqueKey, key_columns: tuple) -> DataFrame:
+    """groupBy-having (map-side partial agg shrinks the shuffle when
+    keys are mostly unique), then broadcast the — presumably tiny —
+    duplicate-key set back to tag every offending row."""
+    cols = list(c.columns)
+    dup_keys = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
+    tagged = df.join(F.broadcast(dup_keys), on=cols, how="inner")
+    return _as_violations(tagged, key_columns, check_id(c), ",".join(cols), F.col("_n"))
+
+
+def run_ref_integrity(df: DataFrame, c: RefIntegrity, vocab: DataFrame, key_columns: tuple) -> DataFrame:
+    """Broadcast left-anti join; NULL FK passes (Required owns nulls)."""
+    cols = list(c.columns)
+    ref_cols = list(c.ref_columns or c.columns)
+    vocab_sel = vocab.select(*[F.col(rc).alias(cc) for rc, cc in zip(ref_cols, cols)]).dropDuplicates()
+    candidates = df.na.drop(subset=cols)
+    viol = candidates.join(F.broadcast(vocab_sel), on=cols, how="left_anti")
+    value = F.concat_ws("|", *[F.col(x).cast("string") for x in cols])
+    return _as_violations(viol, key_columns, check_id(c), ",".join(cols), value)
+
+
+def run_contiguous(df: DataFrame, c: Contiguous, key_columns: tuple) -> DataFrame:
+    """Aggregate-only contiguity: per group, order_column must be
+    exactly start..start+n-1 — min==start, span==count, no dups.
+    One hash aggregation, no window, no sort."""
+    g = list(c.group_by)
+    o = F.col(c.order_column)
+    agg = df.groupBy(*g).agg(
+        F.min(o).alias("_min"),
+        F.max(o).alias("_max"),
+        F.count(o).alias("_n"),
+        F.count_distinct(o).alias("_nd"),
+    )
+    bad = agg.filter(
+        (F.col("_min") != c.start)
+        | (F.col("_max") - F.col("_min") + 1 != F.col("_n"))
+        | (F.col("_nd") != F.col("_n"))
+    )
+    # group-scope violation row: key columns not in group_by are NULL
+    dtypes = dict(df.dtypes)
+    sel = [
+        (F.col(k) if k in g else F.lit(None).cast(dtypes.get(k, "string"))).alias(k)
+        for k in key_columns
+    ]
+    value = F.to_json(F.struct("_min", "_max", "_n", "_nd"))
+    return bad.select(
+        *sel,
+        F.lit(check_id(c)).alias("check"),
+        F.lit(c.order_column).alias("column"),
+        value.alias("value"),
+    )
+
+
+def run_monotonic(df: DataFrame, c: Monotonic, key_columns: tuple) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*c.group_by).orderBy(*c.order_by)
+    with_prev = df.withColumn("_prev", F.lag(F.col(c.column)).over(w))
+    bad = (
+        F.col(c.column) <= F.col("_prev") if c.strict else F.col(c.column) < F.col("_prev")
+    )
+    viol = with_prev.filter(F.coalesce(bad, F.lit(False)))
+    value = F.concat_ws("<", F.col(c.column).cast("string"), F.col("_prev").cast("string"))
+    return _as_violations(viol, key_columns, check_id(c), c.column, value)
+
+
+def run_null_rate(df: DataFrame, c: NullRateMax) -> tuple[bool, float]:
+    rate = df.select(
+        F.avg(F.col(c.column).isNull().cast("double")).alias("r")
+    ).first()["r"]
+    rate = rate or 0.0
+    return rate <= c.max_rate, rate

@@ -1,0 +1,204 @@
+"""Suite execution: the reference's `validate` lifecycle
+(src/JSONSchema/Draft4.hs:62-81) recast as a handful of Spark jobs.
+
+Stages (all lazy until an output is consumed):
+  1. config self-validation + Ref resolution  [driver, cheap]
+  2. ONE fused row-level projection over the table
+  3. table-level passes (agg / window / broadcast-join), one per check
+  4. outputs: violations table (globally ordered by key — the
+     byte-stable contract), per-partition + per-check verdicts,
+     per-column stats (null-rate, min/max, HLL distinct)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hjsonschema_spark.checks import compile as C
+from hjsonschema_spark.checks.ir import (
+    CheckSuite,
+    ConfigInvalid,
+    Contiguous,
+    Monotonic,
+    NullRateMax,
+    RefIntegrity,
+    RowCheck,
+    SuiteRegistry,
+    TableCheck,
+    UniqueKey,
+)
+
+_VIOL_TAIL = ["check", "column", "value"]
+
+
+@dataclass
+class ValidationResult:
+    """Lazy handles over the suite's outputs."""
+
+    suite: CheckSuite
+    checked: DataFrame  # input + `_failures` array column
+    violations: DataFrame  # key cols + (check, column, value), globally sorted
+    verdicts: DataFrame  # scope, partition_id, check, n_rows, n_violations, passed
+    stats: DataFrame | None = None
+    _summary: dict[str, Any] | None = field(default=None, repr=False)
+
+    def passed(self) -> bool:
+        return self.summary()["n_violations"] == 0
+
+    def summary(self) -> dict[str, Any]:
+        if self._summary is None:
+            counts = {
+                r["check"]: r["n"]
+                for r in self.violations.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            self._summary = {
+                "suite": self.suite.name,
+                "n_violations": sum(counts.values()),
+                "by_check": counts,
+            }
+        return self._summary
+
+
+def _row_violations(checked: DataFrame, key_columns: tuple) -> DataFrame:
+    f = F.explode("_failures").alias("f")
+    return (
+        checked.filter(F.size("_failures") > 0)
+        .select(*key_columns, f)
+        .select(*key_columns, "f.check", "f.column", "f.value")
+    )
+
+
+def _partition_verdicts(checked: DataFrame) -> DataFrame:
+    """Per-input-partition pass/fail — the north star's per-partition
+    verdict, computed from the SAME fused pass (no extra scan)."""
+    return (
+        checked.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.size("_failures") > 0).cast("long")).alias("n_violations"),
+        )
+        .select(
+            F.lit("partition").alias("scope"),
+            "partition_id",
+            F.lit(None).cast("string").alias("check"),
+            "n_rows",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One aggregation pass: per-column count / null-rate / min / max /
+    HLL distinct (approx_count_distinct = HyperLogLog++). Long format."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.avg(F.col(c).isNull().cast("double")).alias(f"{c}__null_rate"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
+        ]
+    wide = df.agg(*aggs)
+    struct_rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__null_rate").alias("null_rate"),
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.col(f"{c}__approx_distinct").alias("approx_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(struct_rows).alias("s")).select("s.*")
+
+
+def run_suite(
+    df: DataFrame,
+    suite: CheckSuite,
+    registry: SuiteRegistry | None = None,
+    vocab_tables: dict[str, DataFrame] | None = None,
+    include_stats: bool = False,
+) -> ValidationResult:
+    """Compile + execute a suite against a DataFrame."""
+    suite.validate_config()  # schema validated before data (Draft4.hs:134-148)
+    reg = registry or SuiteRegistry().add(suite)
+    if suite.name not in reg.suites:
+        reg.add(suite)
+    resolved = reg.resolve(suite.name)
+
+    row_checks = [c for c in resolved if isinstance(c, RowCheck)]
+    table_checks = [c for c in resolved if isinstance(c, TableCheck)]
+    missing = [c for c in resolved if not isinstance(c, (RowCheck, TableCheck))]
+    if missing:
+        raise ConfigInvalid(f"unsupported checks: {[type(c).__name__ for c in missing]}")
+
+    keys = suite.key_columns
+    checked = C.compile_fused_pass(df, row_checks)
+    viols = [_row_violations(checked, keys)]
+    verdicts = [_partition_verdicts(checked)]
+
+    for c in table_checks:
+        if isinstance(c, UniqueKey):
+            v = C.run_unique_key(df, c, keys)
+        elif isinstance(c, RefIntegrity):
+            vt = (vocab_tables or {}).get(c.ref_name)
+            if vt is None:
+                raise ConfigInvalid(f"ref_integrity: no vocab table named {c.ref_name!r}")
+            v = C.run_ref_integrity(df, c, vt, keys)
+        elif isinstance(c, Contiguous):
+            v = C.run_contiguous(df, c, keys)
+        elif isinstance(c, Monotonic):
+            v = C.run_monotonic(df, c, keys)
+        elif isinstance(c, NullRateMax):
+            ok, rate = C.run_null_rate(df, c)
+            spark = df.sparkSession
+            verdicts.append(
+                spark.createDataFrame(
+                    [("table", None, C.check_id(c), None, None, ok)],
+                    "scope string, partition_id int, check string, n_rows long, n_violations long, passed boolean",
+                )
+            )
+            continue
+        else:
+            raise ConfigInvalid(f"unsupported table check {type(c).__name__}")
+        viols.append(v)
+
+    all_viols = viols[0]
+    for v in viols[1:]:
+        all_viols = all_viols.unionByName(v)
+    # global sort => byte-stable violation output across partition counts
+    all_viols = all_viols.orderBy(*keys, "check")
+
+    table_verdicts = (
+        all_viols.groupBy("check")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit("check").alias("scope"),
+            F.lit(None).cast("int").alias("partition_id"),
+            "check",
+            F.lit(None).cast("long").alias("n_rows"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    all_verdicts = verdicts[0]
+    for v in verdicts[1:] + [table_verdicts]:
+        all_verdicts = all_verdicts.unionByName(v)
+
+    return ValidationResult(
+        suite=suite,
+        checked=checked,
+        violations=all_viols,
+        verdicts=all_verdicts,
+        stats=column_stats(df) if include_stats else None,
+    )

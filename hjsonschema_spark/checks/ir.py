@@ -1,0 +1,477 @@
+"""Check IR — the engine's schema language.
+
+The analogue of the reference's ``Schema`` record
+(src/JSONSchema/Draft4/Schema.hs:15-65): a JSON-round-trippable tree of
+check nodes, self-validated before compilation (the meta-schema
+analogue, src/JSONSchema/Draft4.hs:134-148), with named-suite ``Ref``
+nodes resolved at compile time with lateral cycle detection (the $ref
+analogue, src/JSONSchema/Validator/Draft4/Any.hs:56-98).
+
+Row-level checks compile to guarded ``pyspark.sql.Column`` booleans and
+are fused into ONE projection per table pass; table-level checks
+compile to aggregation / window / broadcast-join passes. Keyword
+semantics mirror the reference per SURVEY.md §2 (e.g. NULL input =>
+vacuous pass, the columnar analogue of type-mismatch => pass,
+src/JSONSchema/Validator/Draft4.hs:28-33).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, fields
+from typing import Any, ClassVar
+
+
+class ConfigInvalid(Exception):
+    """Check-suite config failed self-validation (SchemaInvalid analogue)."""
+
+
+_KIND_REGISTRY: dict[str, type] = {}
+
+
+def _register(cls):
+    _KIND_REGISTRY[cls.kind] = cls
+    return cls
+
+
+@dataclass(frozen=True)
+class Check:
+    kind: ClassVar[str] = "abstract"
+
+    def to_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {"kind": self.kind}
+        for f in fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, Check):
+                v = v.to_dict()
+            elif isinstance(v, (list, tuple)) and v and isinstance(v[0], Check):
+                v = [c.to_dict() for c in v]
+            elif isinstance(v, tuple):
+                v = list(v)
+            d[f.name] = v
+        return d
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "Check":
+        d = dict(d)
+        kind = d.pop("kind", None)
+        cls = _KIND_REGISTRY.get(kind)
+        if cls is None:
+            raise ConfigInvalid(f"unknown check kind: {kind!r}")
+        kw = {}
+        for f in fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if isinstance(v, dict) and "kind" in v:
+                v = Check.from_dict(v)
+            elif isinstance(v, list) and v and isinstance(v[0], dict) and "kind" in v[0]:
+                v = tuple(Check.from_dict(x) for x in v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            kw[f.name] = v
+        extra = set(d) - {f.name for f in fields(cls)}
+        if extra:
+            raise ConfigInvalid(f"{kind}: unknown fields {sorted(extra)}")
+        try:
+            return cls(**kw)
+        except TypeError as e:
+            raise ConfigInvalid(f"{kind}: {e}") from e
+
+    def validate_config(self) -> None:
+        """Self-check; subclasses extend. Raises ConfigInvalid."""
+
+    def children(self) -> tuple["Check", ...]:
+        return ()
+
+
+# --------------------------------------------------------------------------
+# row-level checks (compile to one fused Column pass)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RowCheck(Check):
+    """Base: checks evaluable per-row from that row's columns alone."""
+
+
+@_register
+@dataclass(frozen=True)
+class Required(RowCheck):
+    """Column must be non-null (reference `required`, Object.hs:96-106)."""
+    kind: ClassVar[str] = "required"
+    column: str = ""
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("required: column must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class Enum(RowCheck):
+    """Value in an inline vocabulary (reference `enum`, Any.hs:239-243).
+    Non-unique vocabulary => vacuous pass, matching the reference quirk.
+    NULL => vacuous pass. For big vocabularies use RefIntegrity."""
+    kind: ClassVar[str] = "enum"
+    column: str = ""
+    values: tuple = ()
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("enum: column must be set")
+        if not self.values:
+            raise ConfigInvalid("enum: values must be non-empty")
+
+
+@_register
+@dataclass(frozen=True)
+class Bounds(RowCheck):
+    """min/max with exclusivity flags (Number.hs:49-83). Either side
+    optional. NULL => pass."""
+    kind: ClassVar[str] = "bounds"
+    column: str = ""
+    min: float | int | None = None
+    max: float | int | None = None
+    exclusive_min: bool = False
+    exclusive_max: bool = False
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("bounds: column must be set")
+        if self.min is None and self.max is None:
+            raise ConfigInvalid("bounds: at least one of min/max")
+
+
+@_register
+@dataclass(frozen=True)
+class Length(RowCheck):
+    """String length in code points (String.hs:25-49; Spark `length`
+    counts code points too)."""
+    kind: ClassVar[str] = "length"
+    column: str = ""
+    min_len: int | None = None
+    max_len: int | None = None
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("length: column must be set")
+        if self.min_len is None and self.max_len is None:
+            raise ConfigInvalid("length: at least one of min_len/max_len")
+
+
+@_register
+@dataclass(frozen=True)
+class Pattern(RowCheck):
+    """Unanchored regex search (String.hs:68-77). mode='rlike' uses the
+    JVM regex (codegen, fast path); mode='pcre' uses a vectorized
+    pandas UDF with Python `re` precompiled once per batch — the parity
+    mode for PCRE-specific syntax."""
+    kind: ClassVar[str] = "pattern"
+    column: str = ""
+    regex: str = ""
+    mode: str = "rlike"
+
+    def validate_config(self):
+        if not self.column or not self.regex:
+            raise ConfigInvalid("pattern: column and regex must be set")
+        if self.mode not in ("rlike", "pcre"):
+            raise ConfigInvalid(f"pattern: bad mode {self.mode!r}")
+        import re
+
+        try:
+            re.compile(self.regex)
+        except re.error as e:
+            # reference surfaces uncompilable `pattern` as a failure at
+            # validation time; config-time rejection is our stricter
+            # schema-check analogue
+            raise ConfigInvalid(f"pattern: unusable regex {self.regex!r}: {e}")
+
+
+@_register
+@dataclass(frozen=True)
+class MultipleOf(RowCheck):
+    """x is an integer multiple of n; n <= 0 => vacuous pass
+    (Number.hs:25-29). Decimal math to keep 0.0075 % 0.0001 exact."""
+    kind: ClassVar[str] = "multiple_of"
+    column: str = ""
+    n: float | int = 1
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("multiple_of: column must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class NotNullIf(RowCheck):
+    """Property dependency (Object.hs:177-183): when `when_column` ==
+    `equals`, `column` must be non-null; and when `only` is True, the
+    converse: `column` must be null otherwise."""
+    kind: ClassVar[str] = "not_null_if"
+    column: str = ""
+    when_column: str = ""
+    equals: Any = None
+    only: bool = False
+
+    def validate_config(self):
+        if not self.column or not self.when_column:
+            raise ConfigInvalid("not_null_if: column and when_column must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class Custom(RowCheck):
+    """Escape hatch: a SQL boolean expression over the row. The
+    analogue of the reference's user-composable Specs (README.md:3)."""
+    kind: ClassVar[str] = "custom"
+    name: str = ""
+    expr: str = ""
+
+    def validate_config(self):
+        if not self.name or not self.expr:
+            raise ConfigInvalid("custom: name and expr must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class AllOf(RowCheck):
+    kind: ClassVar[str] = "all_of"
+    checks: tuple = ()
+
+    def children(self):
+        return self.checks
+
+    def validate_config(self):
+        if not self.checks:
+            raise ConfigInvalid("all_of: checks must be non-empty")
+
+
+@_register
+@dataclass(frozen=True)
+class AnyOf(RowCheck):
+    kind: ClassVar[str] = "any_of"
+    checks: tuple = ()
+
+    def children(self):
+        return self.checks
+
+    def validate_config(self):
+        if not self.checks:
+            raise ConfigInvalid("any_of: checks must be non-empty")
+
+
+@_register
+@dataclass(frozen=True)
+class OneOf(RowCheck):
+    """Exactly one branch passes (Any.hs:435-482)."""
+    kind: ClassVar[str] = "one_of"
+    checks: tuple = ()
+
+    def children(self):
+        return self.checks
+
+    def validate_config(self):
+        if not self.checks:
+            raise ConfigInvalid("one_of: checks must be non-empty")
+
+
+@_register
+@dataclass(frozen=True)
+class Not(RowCheck):
+    kind: ClassVar[str] = "not"
+    check: Check | None = None
+
+    def children(self):
+        return (self.check,) if self.check else ()
+
+    def validate_config(self):
+        if self.check is None:
+            raise ConfigInvalid("not: check must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class Ref(RowCheck):
+    """Reference to a named suite in the registry ($ref analogue).
+    Siblings-excluded by construction (a Ref node has no other fields,
+    mirroring disableIfRefPresent, Spec.hs:129-133)."""
+    kind: ClassVar[str] = "ref"
+    suite: str = ""
+
+    def validate_config(self):
+        if not self.suite:
+            raise ConfigInvalid("ref: suite must be set")
+
+
+# --------------------------------------------------------------------------
+# table-level checks (aggregation / window / join passes)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TableCheck(Check):
+    """Base: checks requiring cross-row context."""
+
+
+@_register
+@dataclass(frozen=True)
+class UniqueKey(TableCheck):
+    """Table-wide uniqueness on a key tuple — `uniqueItems` lifted to
+    table scope (Array.hs:73-77 → groupBy-having)."""
+    kind: ClassVar[str] = "unique_key"
+    columns: tuple = ()
+
+    def validate_config(self):
+        if not self.columns:
+            raise ConfigInvalid("unique_key: columns must be non-empty")
+
+
+@_register
+@dataclass(frozen=True)
+class RefIntegrity(TableCheck):
+    """Referential integrity of column(s) against a vocabulary table —
+    `enum` lifted to a broadcast left-anti join (Any.hs:239-243 lifted).
+    NULLs pass (use Required for null policy)."""
+    kind: ClassVar[str] = "ref_integrity"
+    columns: tuple = ()
+    ref_name: str = ""  # key into the engine's vocab-table dict
+    ref_columns: tuple = ()  # defaults to `columns`
+
+    def validate_config(self):
+        if not self.columns or not self.ref_name:
+            raise ConfigInvalid("ref_integrity: columns and ref_name must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class Contiguous(TableCheck):
+    """Per-group order column must be exactly start..start+n-1 with no
+    gaps/dups. Aggregate-only formulation (no window, partial-agg
+    friendly): min==start AND max-min+1==count AND count==distinct."""
+    kind: ClassVar[str] = "contiguous"
+    order_column: str = ""
+    group_by: tuple = ()
+    start: int = 0
+
+    def validate_config(self):
+        if not self.order_column or not self.group_by:
+            raise ConfigInvalid("contiguous: order_column and group_by must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class Monotonic(TableCheck):
+    """Column non-decreasing (or strictly increasing) per group in the
+    order of `order_by` — window lag pass."""
+    kind: ClassVar[str] = "monotonic"
+    column: str = ""
+    group_by: tuple = ()
+    order_by: tuple = ()
+    strict: bool = False
+
+    def validate_config(self):
+        if not self.column or not self.group_by or not self.order_by:
+            raise ConfigInvalid("monotonic: column, group_by, order_by must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class NullRateMax(TableCheck):
+    """Aggregate-level null-rate bound on a column."""
+    kind: ClassVar[str] = "null_rate_max"
+    column: str = ""
+    max_rate: float = 0.0
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("null_rate_max: column must be set")
+        if not (0.0 <= self.max_rate <= 1.0):
+            raise ConfigInvalid("null_rate_max: max_rate must be in [0,1]")
+
+
+# --------------------------------------------------------------------------
+# suite + registry
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CheckSuite:
+    """A named collection of checks over one table, plus the key
+    columns that identify a row in violation output (stable ordering
+    contract: violations are sorted by these)."""
+
+    name: str
+    key_columns: tuple
+    checks: tuple = ()
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "name": self.name,
+                "key_columns": list(self.key_columns),
+                "checks": [c.to_dict() for c in self.checks],
+            },
+            sort_keys=True,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "CheckSuite":
+        d = json.loads(s)
+        return CheckSuite(
+            name=d["name"],
+            key_columns=tuple(d["key_columns"]),
+            checks=tuple(Check.from_dict(c) for c in d["checks"]),
+        )
+
+    def validate_config(self) -> None:
+        if not self.name:
+            raise ConfigInvalid("suite: name must be set")
+        if not self.key_columns:
+            raise ConfigInvalid("suite: key_columns must be set")
+        seen: set[int] = set()
+
+        def walk(c: Check):
+            if id(c) in seen:
+                return
+            seen.add(id(c))
+            c.validate_config()
+            for ch in c.children():
+                walk(ch)
+
+        for c in self.checks:
+            walk(c)
+
+
+@dataclass
+class SuiteRegistry:
+    """Named-suite registry — the URISchemaMap analogue. Ref resolution
+    happens at compile time with lateral-only cycle detection (a Ref
+    chain that revisits a suite at the same row is a config error,
+    mirroring RefLoop, Any.hs:69-71)."""
+
+    suites: dict[str, CheckSuite] = field(default_factory=dict)
+
+    def add(self, suite: CheckSuite) -> "SuiteRegistry":
+        suite.validate_config()
+        self.suites[suite.name] = suite
+        return self
+
+    def resolve(self, name: str, _visiting: frozenset = frozenset()) -> tuple:
+        """Flatten a suite's row checks, inlining Refs; cycle => error."""
+        if name in _visiting:
+            raise ConfigInvalid(f"ref loop through suite {name!r}")
+        if name not in self.suites:
+            raise ConfigInvalid(f"unresolvable suite ref {name!r}")
+        out: list[Check] = []
+        for c in self.suites[name].checks:
+            out.extend(self._resolve_check(c, _visiting | {name}))
+        return tuple(out)
+
+    def _resolve_check(self, c: Check, visiting: frozenset) -> list[Check]:
+        if isinstance(c, Ref):
+            return list(self.resolve(c.suite, visiting))
+        if isinstance(c, (AllOf, AnyOf, OneOf)):
+            kids = tuple(k for ch in c.children() for k in self._resolve_check(ch, visiting))
+            return [type(c)(checks=kids)]
+        if isinstance(c, Not) and isinstance(c.check, Ref):
+            inner = self.resolve(c.check.suite, visiting)
+            return [Not(check=AllOf(checks=inner))]
+        return [c]

@@ -1,0 +1,203 @@
+"""Known-answer tests: the generator injects violations at known keys;
+the engine must find exactly those (FIXTURES.md violation knobs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hjsonschema_spark.checks import (
+    AllOf,
+    AnyOf,
+    CheckSuite,
+    Contiguous,
+    Custom,
+    Enum,
+    Length,
+    Monotonic,
+    MultipleOf,
+    Not,
+    NotNullIf,
+    NullRateMax,
+    OneOf,
+    Pattern,
+    Ref,
+    RefIntegrity,
+    Required,
+    SuiteRegistry,
+    UniqueKey,
+    run_suite,
+)
+from hjsonschema_spark.checks.ir import Bounds, ConfigInvalid
+from hjsonschema_spark.sources import ROLE_VOCAB, TranscriptGen, role_vocab_df, tool_vocab_df
+
+KEYS = ("conv_id", "turn_idx")
+
+
+def _suite(*checks) -> CheckSuite:
+    return CheckSuite(name="t", key_columns=KEYS, checks=tuple(checks))
+
+
+@pytest.fixture(scope="module")
+def clean(spark):
+    df = TranscriptGen(n_convs=200, seed=11).df(spark)
+    df.cache().count()
+    return df
+
+
+def test_clean_table_passes(spark, clean):
+    suite = _suite(
+        Required(column="conv_id"),
+        Required(column="role"),
+        Enum(column="role", values=tuple(ROLE_VOCAB)),
+        Pattern(column="conv_id", regex="^c[0-9]{8}$"),
+        Bounds(column="turn_idx", min=0),
+        Length(column="text", max_len=5000),
+        NotNullIf(column="tool", when_column="role", equals="tool_use", only=True),
+        UniqueKey(columns=KEYS),
+        Contiguous(order_column="turn_idx", group_by=("conv_id",)),
+        Monotonic(column="ts", group_by=("conv_id",), order_by=("turn_idx",)),
+    )
+    res = run_suite(clean, suite)
+    assert res.summary()["n_violations"] == 0
+    assert res.passed()
+    verd = res.verdicts.filter("scope = 'partition'")
+    assert verd.filter(~F.col("passed")).count() == 0
+
+
+def test_bad_roles_found_exactly(spark):
+    g = TranscriptGen(n_convs=200, seed=11, bad_role_rate=0.05)
+    df = g.df(spark).cache()
+    expected = {
+        (r["conv_id"], r["turn_idx"])
+        for r in df.filter(~F.col("role").isin(ROLE_VOCAB)).select(*KEYS).collect()
+    }
+    assert expected, "knob must inject at least one violation"
+    res = run_suite(df, _suite(Enum(column="role", values=tuple(ROLE_VOCAB))))
+    got = {(r["conv_id"], r["turn_idx"]) for r in res.violations.collect()}
+    assert got == expected
+    df.unpersist()
+
+
+def test_duplicates_found(spark):
+    g = TranscriptGen(n_convs=200, seed=13, dup_rate=0.03)
+    df = g.df(spark).cache()
+    res = run_suite(df, _suite(UniqueKey(columns=KEYS)))
+    viol = res.violations.collect()
+    assert viol
+    # every reported key occurs >1 times; count matches the key multiplicity
+    dup_keys = {
+        (r["conv_id"], r["turn_idx"])
+        for r in df.groupBy(*KEYS).count().filter("count > 1").collect()
+    }
+    assert {(r["conv_id"], r["turn_idx"]) for r in viol} == dup_keys
+    df.unpersist()
+
+
+def test_gaps_and_ts_regression(spark):
+    g = TranscriptGen(n_convs=300, seed=17, gap_rate=0.05, ts_regress_rate=0.02)
+    df = g.df(spark).cache()
+    res = run_suite(
+        df,
+        _suite(
+            Contiguous(order_column="turn_idx", group_by=("conv_id",)),
+            Monotonic(column="ts", group_by=("conv_id",), order_by=("turn_idx",)),
+        ),
+    )
+    s = res.summary()
+    assert s["by_check"].get("contiguous:turn_idx", 0) > 0
+    assert s["by_check"].get("monotonic:ts", 0) > 0
+    df.unpersist()
+
+
+def test_ref_integrity_vocab_tables(spark):
+    g = TranscriptGen(n_convs=200, seed=19, bad_tool_rate=0.5)
+    df = g.df(spark).cache()
+    n_bad = df.filter(F.col("tool") == "not_a_tool").count()
+    assert n_bad > 0
+    suite = _suite(
+        RefIntegrity(columns=("role",), ref_name="roles"),
+        RefIntegrity(columns=("tool",), ref_name="tools"),
+    )
+    res = run_suite(
+        df,
+        suite,
+        vocab_tables={"roles": role_vocab_df(spark), "tools": tool_vocab_df(spark)},
+    )
+    s = res.summary()
+    assert s["by_check"]["ref_integrity:tool->tools"] == n_bad
+    assert "ref_integrity:role->roles" not in s["by_check"]
+    df.unpersist()
+
+
+def test_null_rate_and_stats(spark):
+    g = TranscriptGen(n_convs=200, seed=23, null_text_rate=0.2)
+    df = g.df(spark).cache()
+    res = run_suite(
+        df,
+        _suite(NullRateMax(column="text", max_rate=0.05)),
+        include_stats=True,
+    )
+    verd = {r["check"]: r["passed"] for r in res.verdicts.filter("scope='table'").collect()}
+    assert verd["null_rate_max:text"] is False
+    stats = {r["column"]: r.asDict() for r in res.stats.collect()}
+    assert 0.1 < stats["text"]["null_rate"] < 0.35
+    assert stats["conv_id"]["null_rate"] == 0.0
+    assert stats["turn_idx"]["min"] == "0"
+    df.unpersist()
+
+
+def test_combinators_and_custom(spark, clean):
+    suite = _suite(
+        AnyOf(checks=(Enum(column="role", values=("user",)), Enum(column="role", values=("system", "assistant", "tool_use", "tool_result")))),
+        Not(check=Enum(column="role", values=("robot",))),
+        OneOf(checks=(Pattern(column="text", regex="^Thought: "), Not(check=Pattern(column="text", regex="^Thought: ")))),
+        Custom(name="turn_idx_small", expr="turn_idx < 100000"),
+        MultipleOf(column="turn_idx", n=1),
+    )
+    res = run_suite(clean, suite)
+    assert res.summary()["n_violations"] == 0
+
+
+def test_suite_json_roundtrip():
+    suite = _suite(
+        Required(column="role"),
+        AnyOf(checks=(Enum(column="role", values=("a",)), Bounds(column="turn_idx", min=0, max=10, exclusive_max=True))),
+        UniqueKey(columns=KEYS),
+    )
+    s2 = CheckSuite.from_json(suite.to_json())
+    assert s2 == suite
+    assert s2.to_json() == suite.to_json()
+
+
+def test_ref_resolution_and_cycles():
+    reg = SuiteRegistry()
+    reg.add(CheckSuite(name="base", key_columns=KEYS, checks=(Required(column="role"),)))
+    reg.add(CheckSuite(name="main", key_columns=KEYS, checks=(Ref(suite="base"), Bounds(column="turn_idx", min=0))))
+    resolved = reg.resolve("main")
+    assert [type(c).__name__ for c in resolved] == ["Required", "Bounds"]
+    reg.add(CheckSuite(name="a", key_columns=KEYS, checks=(Ref(suite="b"),)))
+    reg.add(CheckSuite(name="b", key_columns=KEYS, checks=(Ref(suite="a"),)))
+    with pytest.raises(ConfigInvalid, match="ref loop"):
+        reg.resolve("a")
+    with pytest.raises(ConfigInvalid, match="unresolvable"):
+        reg.resolve("nope")
+
+
+def test_config_self_validation():
+    with pytest.raises(ConfigInvalid):
+        _suite(Bounds(column="x")).validate_config()  # no min or max
+    with pytest.raises(ConfigInvalid):
+        _suite(Pattern(column="x", regex="(")).validate_config()
+    with pytest.raises(ConfigInvalid):
+        CheckSuite(name="", key_columns=KEYS).validate_config()
+
+
+def test_pcre_mode_matches_rlike(spark, clean):
+    """Dual-path cross-check (reference analogue: record vs Value
+    implementations agreeing, test/Local.hs:53-56)."""
+    r1 = run_suite(clean, _suite(Pattern(column="text", regex="^(Thought|Action|Observation):", mode="rlike")))
+    r2 = run_suite(clean, _suite(Pattern(column="text", regex="^(Thought|Action|Observation):", mode="pcre")))
+    a = [(r["conv_id"], r["turn_idx"]) for r in r1.violations.collect()]
+    b = [(r["conv_id"], r["turn_idx"]) for r in r2.violations.collect()]
+    assert a == b and len(a) > 0
