@@ -1,0 +1,12 @@
+"""Shared column-expression helpers — all JVM-side (codegen-friendly),
+no Python in the hot path."""
+
+from hjsonschema_spark.functions.columns import (  # noqa: F401
+    char_shingles,
+    cosine_similarity,
+    doc_fingerprint,
+    l2_norm,
+    normalize_text,
+    token_shingles,
+    tokens,
+)

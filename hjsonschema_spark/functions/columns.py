@@ -1,0 +1,57 @@
+"""Column-expression building blocks (pure pyspark.sql.functions —
+whole-stage codegen, no UDFs). Each has a DuckDB-SQL equivalent used by
+the driver oracle; keep the two in lockstep."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace, strip — the canonical form for
+    exact-dup hashing. SQL: trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    md5 exists in both Spark and DuckDB => oracle-checkable."""
+    return F.md5(normalize_text(col))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace/punctuation tokenization, lowercased, empties removed.
+    SQL equivalent uses the same regex split."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9']+"), lambda t: t != "")
+
+
+def token_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (n-grams joined by a space)."""
+    ts = tokens(col)
+    n = F.size(ts)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - (k - 1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, k)))
+    # shorter-than-k docs shingle to their whole token string
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", ts))))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of the normalized text."""
+    s = normalize_text(col)
+    n = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - (k - 1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two float arrays via zip_with/aggregate — stays in
+    codegen; no UDF. Returns double; 0-vectors => NULL (guarded)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = l2_norm(a)
+    nb = l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))

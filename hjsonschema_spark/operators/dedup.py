@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale notes (the part that matters at 100 TB):
+
+- ``exact_duplicates``: hash-groupBy on a 32-char fingerprint, partial
+  aggregation shrinks the shuffle to ~#distinct-docs; duplicate groups
+  are a tiny fraction, broadcast back to tag rows.
+- ``minhash_signatures``: pure column expressions (nested transform/
+  array_min over the shingle array) — no UDF, no shuffle; signatures
+  are computed in the scan stage.
+- ``minhash_lsh_pairs``: the scale path. Banding turns O(n²) pair
+  search into an equi-join on (band_idx, band_hash); only within-bucket
+  pairs are verified. Bucket skew (boilerplate docs) is capped with a
+  per-bucket size limit + AQE skew splitting.
+- ``ngram_jaccard_pairs``: exact verification path (explode-join on
+  shared shingles). Quadratic in bucket size — use on candidates or
+  small corpora; it is the correctness oracle for LSH.
+- ``simhash_signatures``: vectorized Arrow UDF (numpy bit-twiddling),
+  near-dups via banded hamming join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hjsonschema_spark.functions import doc_fingerprint, token_shingles
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rows whose normalized text occurs more than once, with the
+    canonical (min-id) representative. Output: id, fingerprint, group
+    size, keep flag (False = row is a redundant copy)."""
+    fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id")
+    )
+    dup_groups = groups.filter(F.col("n_copies") > 1)
+    return (
+        fp.join(F.broadcast(dup_groups), "fingerprint")
+        .select(
+            id_col,
+            "fingerprint",
+            "n_copies",
+            (F.col(id_col) == F.col("keep_id")).alias("keep"),
+        )
+    )
+
+
+def _minhash_row(shingles: Column, seed: int) -> Column:
+    """min over shingles of a seeded 61-bit hash — one permutation."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MERSENNE)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<bigint>) — all column ops, zero UDFs."""
+    shingles = token_shingles(F.col(text_col), k=shingle_k)
+    sig = F.array(*[_minhash_row(shingles, seed * 1000 + i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding, with
+    the estimated jaccard (signature agreement rate) >= threshold.
+
+    Plan shape: scan+signatures (no shuffle) → explode bands (xB rows)
+    → shuffle on band hash → within-bucket self-join (bounded by
+    max_bucket) → estimate + filter → distinct pairs.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    band_hash = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice("signature", b * rows + 1, rows), lambda v: v.cast("string"))), b),
+    )
+    banded = sigs.select(
+        id_col, "signature", F.posexplode(band_hash).alias("band_idx", "band_hash")
+    )
+    # cap pathological buckets (boilerplate): keep first max_bucket docs
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+    banded = banded.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket)
+    left = banded.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    right = banded.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b))
+        / F.lit(float(num_hashes))
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard for all pairs sharing >=1 shingle.
+    Candidate generation via explode + self-join on the shingle —
+    the LSH verifier / small-corpus oracle."""
+    sh = df.select(
+        F.col(id_col), token_shingles(F.col(text_col), k=shingle_k).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    ex = sh.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash per doc via a vectorized Arrow UDF (numpy) —
+    Python is unavoidable for the 64-way bit accumulation, so it runs
+    Arrow-batched, never per-row."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = [w for w in t.lower().split() if w]
+            if not toks:
+                continue
+            hs = np.array([_hash64(w, seed) for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            out[i] = np.int64(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.uint64).view(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def _hash64(token: str, seed: int) -> int:
+    """Deterministic 64-bit token hash (FNV-1a variant, seed-mixed)."""
+    h = (0xCBF29CE484222325 ^ (seed * 0x9E3779B97F4A7C15)) & 0xFFFFFFFFFFFFFFFF
+    for ch in token.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 42,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Banding on
+    n_bands equal bit-chunks: pairs within distance n_bands-1 share at
+    least one exact chunk (pigeonhole), so candidates come from an
+    equi-join. n_bands defaults to max_hamming+1 (full recall); more
+    bands = more candidates = slower but never less recall."""
+    if n_bands is None:
+        n_bands = next(b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1)
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(df, text_col, id_col, seed)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)
+        ]
+    )
+    banded = sigs.select(id_col, "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
+    cand = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Candidates via random-hyperplane
+    LSH (sign sketch over `n_planes` seeded pseudo-random planes — all
+    column ops), verified with exact cosine. At 1e12 scale the sketch
+    join replaces the O(n²) cross join."""
+    from hjsonschema_spark.functions import cosine_similarity
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    # deterministic pseudo-random plane component p[j][d] in (-1,1)
+    def plane_dot(v: Column, j: int) -> Column:
+        comps = F.zip_with(
+            v,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: (F.pmod(F.xxhash64(F.lit(seed), F.lit(j), d), F.lit(2000001)) - 1000000).cast("double") / 1000000.0,
+            ),
+            lambda x, p: x * p,
+        )
+        return F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
+
+    sketch_bits = [F.when(plane_dot(F.col(vec_col), j) >= 0, 1).otherwise(0) for j in range(n_planes)]
+    sketch = F.conv(F.concat(*[b.cast("string") for b in sketch_bits]), 2, 10).cast("long")
+    sk = emb.select(F.col(id_col), F.col(vec_col), sketch.alias("sketch"))
+    a = sk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "sketch")
+    b = sk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "sketch")
+    cand = a.join(b, "sketch").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(F.col("cosine") >= min_cosine)

@@ -1,0 +1,204 @@
+"""Operator tests: dedup, similarity, text analysis, drift, multimodal
+plumbing, and the draft4 JSON-column UDF."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hjsonschema_spark.operators import dedup, drift, similarity, text
+from hjsonschema_spark.operators import multimodal as mm
+from hjsonschema_spark.sources import TranscriptGen
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "THE QUICK  brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1 after normalize
+        (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup of 1
+        (4, "völlig anderes dokument über die wichtigen dinge und das ist nicht gut"),
+        (5, "le chat est dans la maison et les enfants sont dans le jardin pour jouer"),
+        (6, "el perro es muy grande y los gatos son pequeños en la casa por ahora"),
+        (7, "totally unrelated text about spark dataframes and shuffle partitions in the cluster"),
+        (8, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    out = dedup.exact_duplicates(docs).orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids == [1, 2, 8]
+    keep = {r["doc_id"]: r["keep"] for r in out}
+    assert keep == {1: True, 2: False, 8: False}
+    assert all(r["n_copies"] == 3 for r in out)
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # normalization-equal
+    assert (1, 8) in pairs and pairs[(1, 8)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 7) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.4).collect()
+    }
+    # high-similarity pairs must be recalled by LSH
+    assert exact <= approx | exact  # sanity
+    for pair in [(1, 2), (1, 8), (2, 8)]:
+        assert pair in approx
+
+
+def test_simhash_near_duplicates(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[8]  # same tokens => same simhash
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 8)] == 0
+    assert (1, 3) in pairs  # one-word difference => small hamming
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(60, 16)).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.normal(size=16).astype("float32")  # near-dup of 0
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_duplicates(spark, emb):
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_duplicates(emb, min_cosine=0.99, n_planes=8).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] > 0.99
+
+
+def test_cosine_topk_brute_vs_lsh(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    brute = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    got = {(r["query_id"], r["rank"]): r["vec_id"] for r in brute.collect()}
+    # self is always rank 1 with cosine ~1
+    for q in [0, 1, 2]:
+        assert got[(q, 1)] == q
+    # near-dup pair: 1 is 0's 2nd neighbor
+    assert got[(0, 2)] == 1
+    lsh = similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=6)
+    lsh_got = {(r["query_id"], r["rank"]): r["vec_id"] for r in lsh.collect()}
+    for q in [0, 1, 2]:
+        assert lsh_got[(q, 1)] == q  # self-bucket always probed
+
+
+def test_text_ops(spark, docs):
+    out = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tok"),
+        text.lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    langs = {r["doc_id"]: r["lang"] for r in out}
+    assert langs[1] == "en" and langs[4] == "de" and langs[5] == "fr" and langs[6] == "es"
+    toks = {r["doc_id"]: r["n_tok"] for r in out}
+    assert toks[1] == 13
+
+
+def test_quality_features(spark, docs):
+    q = {r["doc_id"]: r.asDict() for r in text.quality_features(docs).collect()}
+    assert q[1]["q_n_tokens"] == 13
+    assert 0 <= q[1]["q_punct_ratio"] <= 0.05
+    assert q[1]["q_score"] >= 0.8  # clean English sentence scores high
+
+
+def test_fingerprints(spark, docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprints(docs).collect()}
+    assert fp[1] == fp[2] == fp[8]
+    assert fp[1] != fp[3]
+
+
+def test_chi_squared_drift(spark):
+    clean = TranscriptGen(n_convs=400, seed=5).df(spark)
+    drifted = TranscriptGen(n_convs=400, seed=5, drift=True).df(spark)
+    same = drift.chi_squared_drift(clean, "role", drift.histogram(clean, "role"))
+    assert not same["drifted"] and same["statistic"] == 0.0
+    moved = drift.chi_squared_drift(drifted, "role", drift.histogram(clean, "role"))
+    assert moved["drifted"] and moved["p_value"] < 1e-3
+
+
+def test_ks_drift(spark):
+    clean = TranscriptGen(n_convs=400, seed=5).df(spark).select(F.length("text").alias("len"))
+    clean2 = TranscriptGen(n_convs=400, seed=9).df(spark).select(F.length("text").alias("len"))
+    drifted = TranscriptGen(n_convs=400, seed=5, drift=True).df(spark).select(F.length("text").alias("len"))
+    same = drift.ks_two_sample(clean, "len", clean2, "len")
+    assert not same["drifted"]
+    moved = drift.ks_two_sample(clean, "len", drifted, "len")
+    assert moved["drifted"] and moved["statistic"] > same["statistic"]
+
+
+def test_ks_p_value_sanity():
+    # D=0.5 on two 100-samples is wildly significant; D=0.05 is not
+    assert drift.ks_sf(0.5, 100, 100) < 1e-10
+    assert drift.ks_sf(0.05, 100, 100) > 0.5
+    assert drift.chi2_sf(0.1, 4) > 0.99
+    assert drift.chi2_sf(100.0, 4) < 1e-6
+
+
+def test_multimodal_features_and_frames(spark):
+    media = mm.synth_media(spark, n=48)
+    feats = mm.extract_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 48
+    for r in rows:
+        assert r["n_bytes"] > 0 and 0 <= r["byte_mean"] <= 255 and r["byte_entropy"] > 0
+    # deterministic across re-runs
+    again = {r["media_id"]: r["phash"] for r in mm.extract_features(media, decoder="fake").collect()}
+    first = {r["media_id"]: r["phash"] for r in rows}
+    assert again == first
+    frames = mm.sample_frames(media, every_ms=5000)
+    vids = media.filter("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == vids
+    with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+        mm.extract_features(media, decoder="real").collect()
+
+
+def test_draft4_json_udf(spark):
+    from hjsonschema_spark.draft4.udf import validate_json_column
+
+    schema = {
+        "type": "object",
+        "required": ["role"],
+        "properties": {"role": {"enum": ["user", "assistant"]}, "n": {"type": "integer", "minimum": 0}},
+    }
+    rows = [
+        (1, json.dumps({"role": "user", "n": 1})),
+        (2, json.dumps({"role": "robot", "n": -1})),
+        (3, json.dumps({"n": 2})),
+        (4, "not json"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, doc string")
+    out = {r["id"]: r for r in validate_json_column(df, "doc", schema).collect()}
+    assert out[1]["_valid"] is True and out[1]["_failures_json"] == []
+    assert out[2]["_valid"] is False
+    kws = {f["keyword"] for f in out[2]["_failures_json"]}
+    assert kws == {"enum", "minimum"}
+    assert out[3]["_valid"] is False
+    assert out[4]["_valid"] is False and out[4]["_failures_json"][0]["keyword"] == "parse"
+    assert out[5]["_valid"] is None
