@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation suite on sf0.001.
+``queries()`` exposes one entry per implemented operator (SURVEY.md §2
+plus the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one. Column names and rounding are
+kept in lockstep between the two sides (the driver hash-compares
+values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +13,471 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hjsonschema_spark.checks import (
+    Bounds,
+    CheckSuite,
+    Contiguous,
+    Enum,
+    Required,
+    UniqueKey,
+    run_suite,
+)
+from hjsonschema_spark.functions import doc_fingerprint
+from hjsonschema_spark.operators import dedup, drift, similarity, text
+
+SF001 = "/root/testdata/sf0.001"
+
+EVENT_VOCAB = ("click", "view", "signup", "purchase")  # 'error' is the violation
+_EN = text.STOPWORDS["en"]
+_DE = text.STOPWORDS["de"]
+_FR = text.STOPWORDS["fr"]
+_ES = text.STOPWORDS["es"]
+
+_TOKEN_RE = "[^a-z0-9']+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# the lineitem validation suite (flagship)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_SUITE = CheckSuite(
+    name="lineitem",
+    key_columns=("l_orderkey", "l_linenumber"),
+    checks=(
+        Required(column="l_shipdate"),
+        Bounds(column="l_discount", min=0.0, max=0.1),
+        Enum(column="l_returnflag", values=("A", "N", "R")),
+        UniqueKey(columns=("l_orderkey", "l_linenumber")),
+        Contiguous(order_column="l_linenumber", group_by=("l_orderkey",), start=1),
+    ),
+)
+
+
+def _suite_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = run_suite(_t(spark, sf_dir, "lineitem"), _LINEITEM_SUITE)
+    return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
+        "column", "col_name"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation suite over sf0.001 lineitem —
+    violation counts per check plus pass/fail."""
+    res = run_suite(_t(spark, SF001, "lineitem"), _LINEITEM_SUITE)
+    return (
+        res.violations.groupBy("check")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select("check", "n_violations", (F.col("n_violations") == 0).alias("passed"))
+        .orderBy("check")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _ref_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    vocab = spark.createDataFrame([(v,) for v in EVENT_VOCAB], "event_type string")
+    return (
+        events.na.drop(subset=["event_type"])
+        .join(F.broadcast(vocab), "event_type", "left_anti")
+        .select("event_id", "event_type")
+    )
+
+
+def _stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
+def _enum_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _monotonic_ts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    with_prev = ev.withColumn("_prev", F.lag("ts").over(w))
+    return with_prev.filter(F.col("ts") < F.col("_prev")).select("event_id", "user_id")
+
+
+def _dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.08)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_features(docs).select(
+        "doc_id", "q_n_chars", "q_n_tokens", "q_mean_tok_len", "q_punct_ratio",
+        "q_stopword_ratio", "q_score",
+    )
+
+
+def _cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from pyspark.sql import Window
+
+    from hjsonschema_spark.functions import cosine_similarity
+
+    q = queries.select("query_id", F.col("embedding").alias("_qvec"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("_qvec")), 5).alias("cosine_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+def _chi2_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("grp", F.col("user_id") % 2 == 0)
+    return drift.chi2_two_sample_df(ev, "event_type", "grp")
+
+
+def _ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("grp", F.col("user_id") % 2 == 0)
+    return drift.ks_two_sample_df(ev, "value", "grp", buckets=1024)
+
+
+# -- non-SQL-expressible ops (rows-only driver check) ------------------------
+
+def _minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.2
+    )
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=15)
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = dedup.embedding_near_duplicates(emb, min_cosine=0.5, n_planes=6)
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r"))
+
+
+def _cosine_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=6)
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine_r"), "rank")
+
+
+def _draft4_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Draft-4 validation of the events `props` JSON column."""
+    from hjsonschema_spark.draft4.udf import validate_json_column
+
+    schema = {"type": "object"}
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    out = validate_json_column(ev, "props", schema)
+    return out.select("event_id", "_valid")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "suite_violations_lineitem": _suite_violations_lineitem,
+        "ref_violations_events": _ref_violations_events,
+        "stats_lineitem": _stats_lineitem,
+        "enum_histogram_orders": _enum_histogram_orders,
+        "monotonic_ts_events": _monotonic_ts_events,
+        "dedup_exact_documents": _dedup_exact_documents,
+        "ngram_jaccard_documents": _ngram_jaccard_documents,
+        "token_stats_documents": _token_stats_documents,
+        "lang_id_documents": _lang_id_documents,
+        "quality_documents": _quality_documents,
+        "cosine_topk_embeddings": _cosine_topk_embeddings,
+        "chi2_event_type": _chi2_event_type,
+        "ks_value": _ks_value,
+        # rows-only (hash-based / approximate — no exact SQL twin)
+        "minhash_lsh_documents": _minhash_lsh_documents,
+        "simhash_documents": _simhash_documents,
+        "embedding_near_dup": _embedding_near_dup,
+        "cosine_topk_lsh_embeddings": _cosine_topk_lsh_embeddings,
+        "draft4_validate_events_props": _draft4_validate_events_props,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), "
+    "x -> x <> '') AS ts FROM documents"
+)
+
+
+def _stop_sql(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _hits(words) -> str:
+    return f"len(list_filter(ts, t -> list_contains({_stop_sql(words)}, t)))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["suite_violations_lineitem"] = """
+WITH dupk AS (
+  SELECT l_orderkey, l_linenumber, count(*) AS n
+  FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+),
+uniq AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         'unique_key:l_orderkey,l_linenumber' AS check_name,
+         'l_orderkey,l_linenumber' AS col_name,
+         CAST(d.n AS VARCHAR) AS value
+  FROM lineitem l JOIN dupk d USING (l_orderkey, l_linenumber)
+),
+contig AS (
+  SELECT l_orderkey, CAST(NULL AS INTEGER) AS l_linenumber,
+         'contiguous:l_linenumber' AS check_name,
+         'l_linenumber' AS col_name,
+         '{"_min":' || mn || ',"_max":' || mx || ',"_n":' || n || ',"_nd":' || nd || '}' AS value
+  FROM (
+    SELECT l_orderkey, min(l_linenumber) mn, max(l_linenumber) mx,
+           count(l_linenumber) n, count(DISTINCT l_linenumber) nd
+    FROM lineitem GROUP BY 1
+  )
+  WHERE mn <> 1 OR mx - mn + 1 <> n OR nd <> n
+)
+SELECT * FROM uniq UNION ALL SELECT * FROM contig
+"""
+
+    sql["ref_violations_events"] = (
+        "SELECT event_id, event_type FROM events WHERE event_type IS NOT NULL "
+        "AND event_type NOT IN ('click', 'view', 'signup', 'purchase')"
+    )
+
+    stats_parts = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        stats_parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"round(min({c})::DOUBLE, 6) AS min_val, round(max({c})::DOUBLE, 6) AS max_val, "
+            f"count(DISTINCT {c}) AS n_distinct FROM lineitem"
+        )
+    sql["stats_lineitem"] = " UNION ALL ".join(stats_parts)
+
+    sql["enum_histogram_orders"] = (
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1"
+    )
+
+    sql["monotonic_ts_events"] = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p
+  FROM events
+) WHERE ts < p
+"""
+
+    sql["dedup_exact_documents"] = r"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+grp AS (
+  SELECT fingerprint, count(*) AS n_copies, min(doc_id) AS keep_id
+  FROM fp GROUP BY 1 HAVING count(*) > 1
+)
+SELECT f.doc_id, f.fingerprint, g.n_copies, f.doc_id = g.keep_id AS keep
+FROM fp f JOIN grp g USING (fingerprint)
+"""
+
+    sql["ngram_jaccard_documents"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                  for i in generate_series(1, len(ts) - 2)])
+              ELSE [array_to_string(ts, ' ')]
+         END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_common
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM inter WHERE n_common / (n_a + n_b - n_common) >= 0.08
+"""
+
+    sql["token_stats_documents"] = rf"""
+WITH toks AS ({_TOKS_CTE})
+SELECT d.doc_id, len(t.ts) AS n_tokens,
+       md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents d JOIN toks t USING (doc_id)
+"""
+
+    sql["lang_id_documents"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+hits AS (
+  SELECT doc_id, {_hits(_EN)} AS en, {_hits(_DE)} AS de,
+         {_hits(_FR)} AS fr, {_hits(_ES)} AS es
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+            WHEN es = greatest(en, de, fr, es) THEN 'es'
+            WHEN en = greatest(en, de, fr, es) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM hits
+"""
+
+    sql["quality_documents"] = rf"""
+WITH toks AS ({_TOKS_CTE}),
+feat AS (
+  SELECT d.doc_id,
+         length(d.text) AS n_chars,
+         len(t.ts) AS n_tokens,
+         CASE WHEN len(t.ts) > 0
+              THEN list_sum(list_transform(t.ts, x -> length(x)))::DOUBLE / len(t.ts)
+              ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN length(d.text) > 0
+              THEN (length(d.text) - length(regexp_replace(d.text, '[^\w\s]', '', 'g')))::DOUBLE / length(d.text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(t.ts) > 0
+              THEN ({_hits(_EN)})::DOUBLE / len(t.ts)
+              ELSE 0.0 END AS stop_ratio
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id,
+       n_chars AS q_n_chars,
+       n_tokens AS q_n_tokens,
+       round(mean_tok_len, 6) AS q_mean_tok_len,
+       round(punct_ratio, 6) AS q_punct_ratio,
+       round(stop_ratio, 6) AS q_stopword_ratio,
+       round((
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 12 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN stop_ratio >= 0.05 THEN 0.2 ELSE 0.0 END))::DOUBLE, 6) AS q_score
+FROM feat
+"""
+
+    sql["cosine_topk_embeddings"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine_r
+  FROM e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 5
+"""
+
+    sql["chi2_event_type"] = """
+WITH cont AS (
+  SELECT event_type,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS o_a,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS o_b
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(o_a) AS n_a, sum(o_b) AS n_b FROM cont)
+SELECT round(sum(
+         pow(o_a - (o_a + o_b) * n_a / (n_a + n_b), 2) / ((o_a + o_b) * n_a / (n_a + n_b))
+       + pow(o_b - (o_a + o_b) * n_b / (n_a + n_b), 2) / ((o_a + o_b) * n_b / (n_a + n_b))
+       ), 6) AS statistic,
+       (count(*) - 1)::BIGINT AS dof
+FROM cont, tot
+"""
+
+    sql["ks_value"] = """
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+c AS (
+  SELECT least(1023, floor((value - lo) / ((hi - lo) / 1024)))::INT AS bucket,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS c_a,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM events, bounds
+  WHERE value IS NOT NULL
+  GROUP BY 1
+),
+e AS (
+  SELECT bucket,
+         sum(c_a) OVER (ORDER BY bucket) AS cum_a,
+         sum(c_b) OVER (ORDER BY bucket) AS cum_b,
+         sum(c_a) OVER () AS n_a,
+         sum(c_b) OVER () AS n_b
+  FROM c
+)
+SELECT round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6) AS d_stat,
+       max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b
+FROM e
+"""
+    return sql

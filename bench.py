@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Bench harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+--transcripts-only: print one JSON line with the north-star metric
+(turns validated/sec for the full transcript check-suite) — used as the
+child job of --scaling.
+
+--scaling: run the identical transcripts job at local[8] and local[32]
+(separate JVMs — Spark master is fixed per process), compute the
+throughput scaling efficiency tps_32/(4*tps_8) required >= 0.8 by the
+north rule, and write BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400000"))
+N_PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "128"))
+
+HEADLINE = [
+    "suite_violations_lineitem",
+    "ref_violations_events",
+    "stats_lineitem",
+    "monotonic_ts_events",
+    "dedup_exact_documents",
+    "ngram_jaccard_documents",
+    "minhash_lsh_documents",
+    "token_stats_documents",
+    "quality_documents",
+    "cosine_topk_embeddings",
+    "chi2_event_type",
+    "ks_value",
+]
+
+
+def _materialize(df) -> int:
+    """Force full evaluation without driver collection."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def _force(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _transcripts_path() -> str:
+    return f"/tmp/spark_graft_bench_transcripts_{N_CONVS}"
+
+
+def _ensure_transcripts(spark) -> str:
+    """Materialize the seeded transcripts table once (shared by both
+    cluster sizes so the scaling runs read identical input)."""
+    path = _transcripts_path()
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from hjsonschema_spark.sources import TranscriptGen
+
+        gen = TranscriptGen(
+            n_convs=N_CONVS, seed=42, n_partitions=N_PARTS,
+            dup_rate=0.001, bad_role_rate=0.001, gap_rate=0.001, ts_regress_rate=0.001,
+        )
+        gen.df(spark).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _transcripts_suite():
+    from hjsonschema_spark.checks import (
+        Bounds, CheckSuite, Contiguous, Enum, Length, Monotonic, NotNullIf,
+        Pattern, RefIntegrity, Required, UniqueKey,
+    )
+    from hjsonschema_spark.sources import ROLE_VOCAB
+
+    return CheckSuite(
+        name="transcripts_full",
+        key_columns=("conv_id", "turn_idx"),
+        checks=(
+            Required(column="conv_id"),
+            Required(column="role"),
+            Required(column="ts"),
+            Enum(column="role", values=tuple(ROLE_VOCAB)),
+            Pattern(column="conv_id", regex="^c[0-9]{8}$"),
+            Pattern(column="text", regex="^(Thought|Action|Observation):|^[a-z]"),
+            Bounds(column="turn_idx", min=0, max=100000),
+            Length(column="text", min_len=1, max_len=100000),
+            NotNullIf(column="tool", when_column="role", equals="tool_use", only=True),
+            UniqueKey(columns=("conv_id", "turn_idx")),
+            Contiguous(order_column="turn_idx", group_by=("conv_id",)),
+            Monotonic(column="ts", group_by=("conv_id",), order_by=("turn_idx",)),
+            RefIntegrity(columns=("tool",), ref_name="tools"),
+        ),
+    )
+
+
+def run_transcripts_job(spark) -> dict:
+    """The north-star job: full check-suite, one fused row pass + table
+    passes, over the seeded transcripts table. Returns turns/sec."""
+    from hjsonschema_spark.checks import run_suite
+    from hjsonschema_spark.sources import tool_vocab_df
+
+    path = _ensure_transcripts(spark)
+    df = spark.read.parquet(path)
+    n_turns = df.count()
+    t0 = time.perf_counter()
+    res = run_suite(
+        df, _transcripts_suite(), vocab_tables={"tools": tool_vocab_df(spark)}, persist=True
+    )
+    # violations and verdicts are independent once the violations union
+    # is persisted — materialize them concurrently (Spark schedules the
+    # two jobs' stages in parallel across the same executors)
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(2) as pool:
+        f1 = pool.submit(_materialize, res.violations)
+        f2 = pool.submit(_materialize, res.verdicts)
+        f1.result(), f2.result()
+    wall = time.perf_counter() - t0
+    return {"n_turns": n_turns, "wall_sec": wall, "turns_per_sec": n_turns / wall}
+
+
+def main_default() -> None:
+    from hjsonschema_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(_force(qs[name](spark, SF_DIR)), 3)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+    tj = run_transcripts_job(spark)
+    timings["transcripts_full_suite"] = round(tj["wall_sec"], 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "turns validated/sec (full check-suite single pass)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "turns_per_sec": round(tj["turns_per_sec"], 1),
+                "bench_turns": tj["n_turns"],
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_transcripts_only() -> None:
+    from hjsonschema_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-scaling-{CPUS}", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    run_transcripts_job(spark)  # warm-up: JIT + codegen + shuffle service
+    out = run_transcripts_job(spark)
+    out["cpus"] = CPUS
+    print(json.dumps(out))
+    spark.stop()
+
+
+def main_scaling() -> None:
+    # scaling needs enough rows that per-task fixed costs do not
+    # dominate at 32 cores: ~20M turns (~600k rows/core at local[32])
+    scaling_convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "4000000")
+    results = {}
+    for cpus in (8, 32):
+        env = dict(
+            os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_CONVS=scaling_convs
+        )
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--transcripts-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"local[{cpus}]: {results[cpus]['turns_per_sec']:.0f} turns/sec", file=sys.stderr)
+    tps8, tps32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    eff = tps32 / (4 * tps8)
+    md = f"""# BENCH/BASELINE — measured scaling (north rule: efficiency >= 0.8, N -> 4N)
+
+Sandbox proxy for the two-cluster-size criterion: the identical full
+transcript check-suite job (one fused row pass + uniqueness +
+contiguity + monotonicity + referential passes, violations globally
+sorted) over the same seeded parquet input
+({results[8]['n_turns']:,} turns, {N_PARTS} input partitions) at
+local[8] (N) and local[32] (4N).
+
+| cluster size | wall sec | turns/sec |
+|---|---|---|
+| local[8]  (N)  | {results[8]['wall_sec']:.2f} | {tps8:,.0f} |
+| local[32] (4N) | {results[32]['wall_sec']:.2f} | {tps32:,.0f} |
+
+**Scaling efficiency = tps_32 / (4 x tps_8) = {eff:.3f}** (target >= 0.8)
+
+Spark confs: AQE on (coalescePartitions + skewJoin), Arrow on,
+shuffle.partitions = 2x cores, parquet input {N_PARTS} partitions.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(json.dumps({"tps_8": tps8, "tps_32": tps32, "efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--transcripts-only" in sys.argv:
+        main_transcripts_only()
+    else:
+        main_default()

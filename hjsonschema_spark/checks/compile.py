@@ -218,8 +218,9 @@ def run_unique_key(df: DataFrame, c: UniqueKey, key_columns: tuple) -> DataFrame
     keys are mostly unique), then broadcast the — presumably tiny —
     duplicate-key set back to tag every offending row."""
     cols = list(c.columns)
-    dup_keys = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
-    tagged = df.join(F.broadcast(dup_keys), on=cols, how="inner")
+    slim = df.select(*dict.fromkeys([*cols, *key_columns]))
+    dup_keys = slim.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
+    tagged = slim.join(F.broadcast(dup_keys), on=cols, how="inner")
     return _as_violations(tagged, key_columns, check_id(c), ",".join(cols), F.col("_n"))
 
 
@@ -228,7 +229,7 @@ def run_ref_integrity(df: DataFrame, c: RefIntegrity, vocab: DataFrame, key_colu
     cols = list(c.columns)
     ref_cols = list(c.ref_columns or c.columns)
     vocab_sel = vocab.select(*[F.col(rc).alias(cc) for rc, cc in zip(ref_cols, cols)]).dropDuplicates()
-    candidates = df.na.drop(subset=cols)
+    candidates = df.select(*dict.fromkeys([*cols, *key_columns])).na.drop(subset=cols)
     viol = candidates.join(F.broadcast(vocab_sel), on=cols, how="left_anti")
     value = F.concat_ws("|", *[F.col(x).cast("string") for x in cols])
     return _as_violations(viol, key_columns, check_id(c), ",".join(cols), value)
@@ -269,14 +270,108 @@ def run_contiguous(df: DataFrame, c: Contiguous, key_columns: tuple) -> DataFram
 def run_monotonic(df: DataFrame, c: Monotonic, key_columns: tuple) -> DataFrame:
     from pyspark.sql import Window
 
+    needed = list(dict.fromkeys([*c.group_by, *c.order_by, c.column, *key_columns]))
     w = Window.partitionBy(*c.group_by).orderBy(*c.order_by)
-    with_prev = df.withColumn("_prev", F.lag(F.col(c.column)).over(w))
+    with_prev = df.select(*needed).withColumn("_prev", F.lag(F.col(c.column)).over(w))
     bad = (
         F.col(c.column) <= F.col("_prev") if c.strict else F.col(c.column) < F.col("_prev")
     )
     viol = with_prev.filter(F.coalesce(bad, F.lit(False)))
     value = F.concat_ws("<", F.col(c.column).cast("string"), F.col("_prev").cast("string"))
     return _as_violations(viol, key_columns, check_id(c), c.column, value)
+
+
+def run_ordered_fused(
+    df: DataFrame,
+    group_by: tuple,
+    order_col: str,
+    key_columns: tuple,
+    unique: UniqueKey | None = None,
+    contig: Contiguous | None = None,
+    monos: list[Monotonic] | None = None,
+) -> list[DataFrame]:
+    """Fused per-group ordered pass: uniqueness + contiguity +
+    monotonicity checks that share (group_by, order_col) evaluate over
+    ONE hash(group_by) exchange and one (group_by, order_col) sort,
+    instead of one shuffle each. Violation outputs are IDENTICAL to the
+    per-check passes (run_unique_key / run_contiguous / run_monotonic).
+    """
+    from pyspark.sql import Window
+
+    g = list(group_by)
+    o = F.col(order_col)
+    # column-prune BEFORE the shuffle: the pass needs only keys, the
+    # order column, and the monotonic columns — not the (wide) payload
+    needed = list(dict.fromkeys([*g, order_col, *(mc.column for mc in monos or []), *key_columns]))
+    # pin a single exchange: every window below is satisfied by hash(g)
+    base = df.select(*needed).repartition(*g)
+    w_key = Window.partitionBy(*g, order_col)
+    w_grp = Window.partitionBy(*g)
+    w_ord = Window.partitionBy(*g).orderBy(order_col)
+    if unique is not None:
+        base = base.withColumn("_kc", F.count(F.lit(1)).over(w_key))
+    for i, mc in enumerate(monos or []):
+        base = base.withColumn(f"_prev_{i}", F.lag(F.col(mc.column)).over(w_ord))
+    if contig is not None:
+        base = (
+            base.withColumn("_rnk", F.row_number().over(w_key.orderBy(order_col)))
+            .withColumn("_mn", F.min(o).over(w_grp))
+            .withColumn("_mx", F.max(o).over(w_grp))
+            .withColumn("_n", F.count(o).over(w_grp))
+            .withColumn("_nd", F.sum((F.col("_rnk") == 1).cast("long")).over(w_grp))
+            .withColumn("_grn", F.row_number().over(w_ord))
+        )
+    out: list[DataFrame] = []
+    if unique is not None:
+        viol = base.filter(F.col("_kc") > 1)
+        out.append(
+            _as_violations(
+                viol, key_columns, check_id(unique), ",".join(unique.columns), F.col("_kc")
+            )
+        )
+    if contig is not None:
+        bad = base.filter(
+            (F.col("_grn") == 1)
+            & (
+                (F.col("_mn") != contig.start)
+                | (F.col("_mx") - F.col("_mn") + 1 != F.col("_n"))
+                | (F.col("_nd") != F.col("_n"))
+            )
+        )
+        dtypes = dict(df.dtypes)
+        sel = [
+            (F.col(k) if k in g else F.lit(None).cast(dtypes.get(k, "string"))).alias(k)
+            for k in key_columns
+        ]
+        out.append(
+            bad.select(
+                *sel,
+                F.lit(check_id(contig)).alias("check"),
+                F.lit(contig.order_column).alias("column"),
+                F.to_json(
+                    F.struct(
+                        F.col("_mn").alias("_min"),
+                        F.col("_mx").alias("_max"),
+                        F.col("_n").alias("_n"),
+                        F.col("_nd").alias("_nd"),
+                    )
+                ).alias("value"),
+            )
+        )
+    for i, mc in enumerate(monos or []):
+        prev = F.col(f"_prev_{i}")
+        badp = F.col(mc.column) <= prev if mc.strict else F.col(mc.column) < prev
+        viol = base.filter(F.coalesce(badp, F.lit(False)))
+        out.append(
+            _as_violations(
+                viol,
+                key_columns,
+                check_id(mc),
+                mc.column,
+                F.concat_ws("<", F.col(mc.column).cast("string"), prev.cast("string")),
+            )
+        )
+    return out
 
 
 def run_null_rate(df: DataFrame, c: NullRateMax) -> tuple[bool, float]:

@@ -122,14 +122,60 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     return wide.select(F.explode(struct_rows).alias("s")).select("s.*")
 
 
+def _fuse_ordered_checks(
+    df: DataFrame, table_checks: list, keys: tuple
+) -> tuple[list, list[DataFrame]]:
+    """Detect UniqueKey / Contiguous / Monotonic checks sharing the
+    same (group_by, order_column) and evaluate them in ONE window pass
+    (one shuffle) via C.run_ordered_fused. Returns (unfused leftovers,
+    fused violation DataFrames)."""
+    groups: dict[tuple, dict] = {}
+    for c in table_checks:
+        if isinstance(c, Contiguous):
+            groups.setdefault((tuple(c.group_by), c.order_column), {}).setdefault("contig", c)
+        elif isinstance(c, Monotonic) and len(c.order_by) == 1:
+            groups.setdefault((tuple(c.group_by), c.order_by[0]), {}).setdefault("monos", []).append(c)
+    for c in table_checks:
+        if isinstance(c, UniqueKey):
+            for (g, o), slot in groups.items():
+                if tuple(c.columns) == g + (o,) and "unique" not in slot:
+                    slot["unique"] = c
+                    break
+    fused_checks: set[int] = set()
+    fused_viols: list[DataFrame] = []
+    for (g, o), slot in groups.items():
+        members = ([slot.get("unique")] if slot.get("unique") else []) + (
+            [slot.get("contig")] if slot.get("contig") else []
+        ) + slot.get("monos", [])
+        if len(members) < 2:
+            continue  # a single check gains nothing from the fused pass
+        fused_viols.extend(
+            C.run_ordered_fused(
+                df, g, o, keys,
+                unique=slot.get("unique"),
+                contig=slot.get("contig"),
+                monos=slot.get("monos", []),
+            )
+        )
+        fused_checks.update(id(m) for m in members)
+    remaining = [c for c in table_checks if id(c) not in fused_checks]
+    return remaining, fused_viols
+
+
 def run_suite(
     df: DataFrame,
     suite: CheckSuite,
     registry: SuiteRegistry | None = None,
     vocab_tables: dict[str, DataFrame] | None = None,
     include_stats: bool = False,
+    persist: bool = False,
 ) -> ValidationResult:
-    """Compile + execute a suite against a DataFrame."""
+    """Compile + execute a suite against a DataFrame.
+
+    persist=True caches the fused-pass output and the (unsorted)
+    violations union so that consuming violations AND verdicts AND
+    summary() does not re-execute the table passes — the right mode
+    when more than one output is materialized."""
     suite.validate_config()  # schema validated before data (Draft4.hs:134-148)
     reg = registry or SuiteRegistry().add(suite)
     if suite.name not in reg.suites:
@@ -144,8 +190,14 @@ def run_suite(
 
     keys = suite.key_columns
     checked = C.compile_fused_pass(df, row_checks)
+    # NOTE: `checked` is deliberately NOT persisted even when
+    # persist=True — it carries the full input (text included), so a
+    # cache write costs more than re-running the codegen'd fused pass.
     viols = [_row_violations(checked, keys)]
     verdicts = [_partition_verdicts(checked)]
+
+    table_checks, fused_viols = _fuse_ordered_checks(df, table_checks, keys)
+    viols.extend(fused_viols)
 
     for c in table_checks:
         if isinstance(c, UniqueKey):
@@ -176,8 +228,10 @@ def run_suite(
     all_viols = viols[0]
     for v in viols[1:]:
         all_viols = all_viols.unionByName(v)
+    if persist:
+        all_viols = all_viols.persist()
     # global sort => byte-stable violation output across partition counts
-    all_viols = all_viols.orderBy(*keys, "check")
+    sorted_viols = all_viols.orderBy(*keys, "check")
 
     table_verdicts = (
         all_viols.groupBy("check")
@@ -198,7 +252,7 @@ def run_suite(
     return ValidationResult(
         suite=suite,
         checked=checked,
-        violations=all_viols,
+        violations=sorted_viols,
         verdicts=all_verdicts,
         stats=column_stats(df) if include_stats else None,
     )

@@ -5,6 +5,7 @@ from hjsonschema_spark.functions.columns import (  # noqa: F401
     char_shingles,
     cosine_similarity,
     doc_fingerprint,
+    fan_out,
     l2_norm,
     normalize_text,
     token_shingles,

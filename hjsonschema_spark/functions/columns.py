@@ -4,8 +4,21 @@ the driver oracle; keep the two in lockstep."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition narrow inputs before CPU-heavy per-row work.
+
+    A single-file parquet read yields one partition; shingle/minhash/
+    signature computation would then run on one core regardless of
+    cluster size. On real multi-file tables this is a no-op."""
+    spark = df.sparkSession
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
 
 
 def normalize_text(col: Column) -> Column:

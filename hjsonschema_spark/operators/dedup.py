@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hjsonschema_spark.functions import doc_fingerprint, token_shingles
+from hjsonschema_spark.functions import doc_fingerprint, fan_out, token_shingles
 
 _MERSENNE = (1 << 61) - 1
 
@@ -35,6 +35,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Rows whose normalized text occurs more than once, with the
     canonical (min-id) representative. Output: id, fingerprint, group
     size, keep flag (False = row is a redundant copy)."""
+    df = fan_out(df)
     fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
     groups = fp.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id")
@@ -51,13 +52,6 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _minhash_row(shingles: Column, seed: int) -> Column:
-    """min over shingles of a seeded 61-bit hash — one permutation."""
-    return F.array_min(
-        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MERSENNE)))
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -66,10 +60,26 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature: array<bigint>) — all column ops, zero UDFs."""
-    shingles = token_shingles(F.col(text_col), k=shingle_k)
-    sig = F.array(*[_minhash_row(shingles, seed * 1000 + i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    """(id, signature: array<bigint>) — zero UDFs.
+
+    Shape chosen for scale: explode shingles, hash each shingle STRING
+    once, then num_hashes cheap long-rehash min() aggregates. The hash
+    aggregation is partial (map-side) so the shuffle carries only
+    #docs x num_hashes longs; the expensive string hashing happens
+    exactly once per shingle (a nested transform-per-permutation
+    formulation rehashes every string num_hashes times)."""
+    df = fan_out(df)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(token_shingles(F.col(text_col), k=shingle_k)).alias("_sh"),
+    ).select(F.col(id_col), F.xxhash64("_sh", F.lit(seed)).alias("_h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
+    ]
+    wide = ex.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -135,10 +145,15 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard for all pairs sharing >=1 shingle.
     Candidate generation via explode + self-join on the shingle —
     the LSH verifier / small-corpus oracle."""
+    df = fan_out(df)
     sh = df.select(
         F.col(id_col), token_shingles(F.col(text_col), k=shingle_k).alias("shingles")
     ).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+    # join on a 64-bit shingle hash, not the string — 8-byte shuffle/
+    # join keys instead of ~20-char strings (collisions: ~n²/2⁶⁴, nil)
+    ex = sh.select(
+        id_col, "n_sh", F.explode("shingles").alias("_s")
+    ).select(id_col, "n_sh", F.xxhash64("_s").alias("shingle"))
     a = ex.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
@@ -157,6 +172,7 @@ def simhash_signatures(
     """64-bit SimHash per doc via a vectorized Arrow UDF (numpy) —
     Python is unavoidable for the 64-way bit accumulation, so it runs
     Arrow-batched, never per-row."""
+    df = fan_out(df)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -241,6 +257,7 @@ def embedding_near_duplicates(
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
+    emb = fan_out(emb)
     # deterministic pseudo-random plane component p[j][d] in (-1,1)
     def plane_dot(v: Column, j: int) -> Column:
         comps = F.zip_with(

@@ -151,3 +151,65 @@ def ks_two_sample(
         d = max(d, abs(c1 / n1 - c2 / n2))
     p = ks_sf(d, n1, n2)
     return {"statistic": d, "p_value": p, "drifted": p < alpha, "n1": n1, "n2": n2}
+
+
+# -- DataFrame-returning variants (driver-oracle-checkable; the whole
+#    computation stays in the engine, SQL-expressible for DuckDB) -----------
+
+def chi2_two_sample_df(df: DataFrame, col: str, group_col: str) -> DataFrame:
+    """Pearson chi² of the `col` histogram between the two groups named
+    by boolean `group_col`. One row: (statistic, dof). Fully
+    distributed: contingency via one groupBy, totals via window sums."""
+    from pyspark.sql import Window
+
+    cont = df.groupBy(col).agg(
+        F.sum(F.col(group_col).cast("long")).alias("o_a"),
+        F.sum((~F.col(group_col)).cast("long")).alias("o_b"),
+    )
+    w = Window.partitionBy()
+    cont = cont.withColumn("n_a", F.sum("o_a").over(w)).withColumn("n_b", F.sum("o_b").over(w))
+    n = F.col("n_a") + F.col("n_b")
+    row_total = F.col("o_a") + F.col("o_b")
+    e_a = row_total * F.col("n_a") / n
+    e_b = row_total * F.col("n_b") / n
+    contrib = (F.col("o_a") - e_a) ** 2 / e_a + (F.col("o_b") - e_b) ** 2 / e_b
+    return cont.select(contrib.alias("contrib")).agg(
+        F.round(F.sum("contrib"), 6).alias("statistic"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+    )
+
+
+def ks_two_sample_df(df: DataFrame, col: str, group_col: str, buckets: int = 1024) -> DataFrame:
+    """Bucketed-ECDF KS statistic between the two groups named by
+    boolean `group_col`. One row: (d_stat, n_a, n_b). Bucket counts are
+    one distributed agg; the cumulative max runs over `buckets` rows."""
+    from pyspark.sql import Window
+
+    bounds = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+    b = df.crossJoin(F.broadcast(bounds))
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor((F.col(col) - F.col("lo")) / ((F.col("hi") - F.col("lo")) / buckets)).cast("int"),
+    )
+    counts = (
+        b.na.drop(subset=[col])
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum(F.col(group_col).cast("long")).alias("c_a"),
+            F.sum((~F.col(group_col)).cast("long")).alias("c_b"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    ecdf = (
+        counts.withColumn("cum_a", F.sum("c_a").over(w))
+        .withColumn("cum_b", F.sum("c_b").over(w))
+        .withColumn("n_a", F.sum("c_a").over(wt))
+        .withColumn("n_b", F.sum("c_b").over(wt))
+    )
+    diff = F.abs(F.col("cum_a") / F.col("n_a") - F.col("cum_b") / F.col("n_b"))
+    return ecdf.agg(
+        F.round(F.max(diff), 6).alias("d_stat"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hjsonschema_spark.functions import cosine_similarity
+from hjsonschema_spark.functions import cosine_similarity, fan_out
 
 
 def cosine_topk_bruteforce(
@@ -30,7 +30,7 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).crossJoin(F.broadcast(q))
     cos = cosine_similarity(F.col(vec_col), F.col("_qvec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -73,7 +73,7 @@ def cosine_topk_lsh(
     ~2^-n_planes per probe."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    c = corpus.select(F.col(id_col), F.col(vec_col), _sketch(F.col(vec_col), dim, n_planes, seed).alias("sketch"))
+    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col), _sketch(F.col(vec_col), dim, n_planes, seed).alias("sketch"))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec"), _sketch(F.col(vec_col), dim, n_planes, seed).alias("qsketch")
     )

@@ -1,0 +1,74 @@
+"""Checkpoint/resume: an interrupted run must resume where it stopped,
+and the union of violations must equal the single-shot run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hjsonschema_spark.checks import CheckSuite, Enum, Length, Required, run_suite
+from hjsonschema_spark.checks.checkpoint import CheckpointedRun, check_version
+from hjsonschema_spark.sources import ROLE_VOCAB, TranscriptGen
+
+SUITE = CheckSuite(
+    name="ckpt",
+    key_columns=("conv_id", "turn_idx"),
+    checks=(
+        Required(column="role"),
+        Enum(column="role", values=tuple(ROLE_VOCAB)),
+        Length(column="text", max_len=4000),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def input_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ckpt") / "transcripts")
+    TranscriptGen(n_convs=300, seed=31, bad_role_rate=0.02, long_text_rate=0.01, n_partitions=12).df(
+        spark
+    ).write.parquet(p)
+    return p
+
+
+def test_interrupt_and_resume(spark, input_path, tmp_path):
+    store = CheckpointedRun(str(tmp_path / "store"))
+    # simulate interruption: only 2 batches of 3 files each
+    first = store.run(spark, input_path, SUITE, files_per_batch=3, max_batches=2)
+    assert first["batches"] == 2 and first["remaining_files"] > 0
+    ck = store.checkpoints(spark)
+    assert ck.count() == 2
+    # resume: completes the rest, skips the 6 done files
+    second = store.run(spark, input_path, SUITE, files_per_batch=3)
+    assert second["skipped_files"] == 6
+    assert second["remaining_files"] == 0
+    # union of checkpointed violations == single-shot run
+    got = {
+        (r["conv_id"], r["turn_idx"], r["check"])
+        for r in store.violations(spark).collect()
+    }
+    ref = run_suite(spark.read.parquet(input_path), SUITE)
+    want = {(r["conv_id"], r["turn_idx"], r["check"]) for r in ref.violations.collect()}
+    assert got == want and len(want) > 0
+    # lineage rows carry manifest + metrics
+    rows = store.checkpoints(spark).collect()
+    assert all(r["n_files"] == len(r["file_manifest"]) for r in rows)
+    assert all(r["status"] == "done" and r["wall_sec"] > 0 for r in rows)
+    assert {r["check_version"] for r in rows} == {check_version(SUITE)}
+
+
+def test_changed_suite_invalidates_progress(spark, input_path, tmp_path):
+    store = CheckpointedRun(str(tmp_path / "store2"))
+    store.run(spark, input_path, SUITE, files_per_batch=100)
+    changed = CheckSuite(
+        name="ckpt", key_columns=("conv_id", "turn_idx"),
+        checks=SUITE.checks + (Required(column="ts"),),
+    )
+    out = store.run(spark, input_path, changed, files_per_batch=100)
+    assert out["skipped_files"] == 0 and out["batches"] == 1  # full re-run
+
+
+def test_noop_when_everything_done(spark, input_path, tmp_path):
+    store = CheckpointedRun(str(tmp_path / "store3"))
+    store.run(spark, input_path, SUITE, files_per_batch=100)
+    again = store.run(spark, input_path, SUITE, files_per_batch=100)
+    assert again["batches"] == 0 and again["n_rows"] == 0
