@@ -236,6 +236,50 @@ def _draft4_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("event_id", "_valid")
 
 
+def _topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: 2 highest-value orders per customer (sorts/limits
+    coverage, SURVEY §2.7)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice_r"), "rank")
+    )
+
+
+def _revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join aggregation (TPC-H Q5-lite): lineitem ⋈ orders ⋈
+    customer ⋈ nation, revenue per nation. The two small dims broadcast;
+    the orders join is shuffle+AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            # decimal accumulation => exact, order-independent, and
+            # bit-identical to the DuckDB oracle (double sums are not)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations_lineitem": _suite_violations_lineitem,
@@ -251,12 +295,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "chi2_event_type": _chi2_event_type,
         "ks_value": _ks_value,
+        "topk_orders_per_customer": _topk_orders_per_customer,
+        "revenue_per_nation": _revenue_per_nation,
+        "draft4_validate_events_props": _draft4_validate_events_props,
         # rows-only (hash-based / approximate — no exact SQL twin)
         "minhash_lsh_documents": _minhash_lsh_documents,
         "simhash_documents": _simhash_documents,
         "embedding_near_dup": _embedding_near_dup,
         "cosine_topk_lsh_embeddings": _cosine_topk_lsh_embeddings,
-        "draft4_validate_events_props": _draft4_validate_events_props,
     }
 
 
@@ -480,4 +526,29 @@ SELECT round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6) AS d_stat,
        max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b
 FROM e
 """
+
+    sql["topk_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice_r, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 2
+"""
+
+    sql["revenue_per_nation"] = """
+SELECT n_name,
+       round(sum(l_extendedprice::DECIMAL(18,4) * (1 - l_discount::DECIMAL(18,4))), 2)::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["draft4_validate_events_props"] = (
+        "SELECT event_id, (json_valid(props) AND json_type(props) = 'OBJECT') AS _valid "
+        "FROM events"
+    )
     return sql

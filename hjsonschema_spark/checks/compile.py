@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from hjsonschema_spark.checks.ir import (
     AllOf,
     AnyOf,
+    ArrayForAll,
+    ArraySize,
+    ArrayUnique,
     Bounds,
     Check,
     ConfigInvalid,
@@ -41,6 +44,7 @@ from hjsonschema_spark.checks.ir import (
     Required,
     RowCheck,
     Contiguous,
+    TypeIs,
     UniqueKey,
 )
 
@@ -68,6 +72,14 @@ def check_id(c: Check) -> str:
         return f"multiple_of:{c.column}"
     if isinstance(c, NotNullIf):
         return f"not_null_if:{c.column}"
+    if isinstance(c, ArraySize):
+        return f"array_size:{c.column}"
+    if isinstance(c, ArrayUnique):
+        return f"array_unique:{c.column}"
+    if isinstance(c, ArrayForAll):
+        return f"array_forall:{c.column}"
+    if isinstance(c, TypeIs):
+        return f"type_is:{c.column}"
     if isinstance(c, Custom):
         return f"custom:{c.name}"
     if isinstance(c, AllOf):
@@ -143,6 +155,24 @@ def compile_row_predicate(c: RowCheck) -> Column:
         col = F.col(c.column)
         dec = "decimal(38,12)"
         return _guard(col, (col.cast(dec) % F.lit(n).cast(dec)) == 0)
+    if isinstance(c, ArraySize):
+        col = F.col(c.column)
+        preds = []
+        if c.min_items is not None:
+            preds.append(F.size(col) >= c.min_items)
+        if c.max_items is not None:
+            preds.append(F.size(col) <= c.max_items)
+        return _guard(col, reduce(lambda a, b: a & b, preds))
+    if isinstance(c, ArrayUnique):
+        col = F.col(c.column)
+        return _guard(col, F.size(F.array_distinct(col)) == F.size(col))
+    if isinstance(c, ArrayForAll):
+        col = F.col(c.column)
+        pred = F.expr(f"forall({c.column}, x -> coalesce(({c.element_predicate}), false))")
+        return _guard(col, pred)
+    if isinstance(c, TypeIs):
+        # resolved statically in compile_fused_pass (schema conformance)
+        return F.lit(True)
     if isinstance(c, NotNullIf):
         cond = F.col(c.when_column).eqNullSafe(F.lit(c.equals))
         pred = F.when(cond, F.col(c.column).isNotNull()).otherwise(

@@ -63,24 +63,36 @@ class ValidationResult:
         return self._summary
 
 
-def _row_violations(checked: DataFrame, key_columns: tuple) -> DataFrame:
+def _failing_rows(checked: DataFrame, key_columns: tuple) -> DataFrame:
+    """The fused pass reduced to its violating rows (keys + partition
+    id + failure structs) — tiny relative to the input, so persisting
+    it lets violations AND per-partition verdicts derive from ONE
+    execution of the row pass."""
+    return checked.select(
+        *key_columns, F.spark_partition_id().alias("_pid"), "_failures"
+    ).filter(F.size("_failures") > 0)
+
+
+def _row_violations(failing: DataFrame, key_columns: tuple) -> DataFrame:
     f = F.explode("_failures").alias("f")
-    return (
-        checked.filter(F.size("_failures") > 0)
-        .select(*key_columns, f)
-        .select(*key_columns, "f.check", "f.column", "f.value")
+    return failing.select(*key_columns, f).select(
+        *key_columns, "f.check", "f.column", "f.value"
     )
 
 
-def _partition_verdicts(checked: DataFrame) -> DataFrame:
-    """Per-input-partition pass/fail — the north star's per-partition
-    verdict, computed from the SAME fused pass (no extra scan)."""
+def _partition_verdicts(df: DataFrame, failing: DataFrame) -> DataFrame:
+    """Per-input-partition pass/fail: row counts come from a
+    predicate-free count scan (cheap); violating-row counts from the
+    (persisted) failing-rows frame — the fused pass itself runs once."""
+    counts = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    viol_counts = failing.groupBy(F.col("_pid").alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
     return (
-        checked.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum((F.size("_failures") > 0).cast("long")).alias("n_violations"),
-        )
+        counts.join(viol_counts, "partition_id", "left")
+        .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
         .select(
             F.lit("partition").alias("scope"),
             "partition_id",
@@ -182,6 +194,18 @@ def run_suite(
         reg.add(suite)
     resolved = reg.resolve(suite.name)
 
+    # static schema conformance (`type` lifted): resolved at compile
+    # time against df.schema, no per-row work (SURVEY §2.4 type row)
+    from hjsonschema_spark.checks.ir import TypeIs
+
+    dtypes = dict(df.dtypes)
+    type_verdicts = []
+    for c in resolved:
+        if isinstance(c, TypeIs):
+            actual = dtypes.get(c.column)
+            ok = actual == c.type_name
+            type_verdicts.append((C.check_id(c), ok, actual))
+
     row_checks = [c for c in resolved if isinstance(c, RowCheck)]
     table_checks = [c for c in resolved if isinstance(c, TableCheck)]
     missing = [c for c in resolved if not isinstance(c, (RowCheck, TableCheck))]
@@ -193,8 +217,13 @@ def run_suite(
     # NOTE: `checked` is deliberately NOT persisted even when
     # persist=True — it carries the full input (text included), so a
     # cache write costs more than re-running the codegen'd fused pass.
-    viols = [_row_violations(checked, keys)]
-    verdicts = [_partition_verdicts(checked)]
+    # Instead the small failing-rows frame is persisted: both the
+    # violation rows and the per-partition verdicts derive from it.
+    failing = _failing_rows(checked, keys)
+    if persist:
+        failing = failing.persist()
+    viols = [_row_violations(failing, keys)]
+    verdicts = [_partition_verdicts(df, failing)]
 
     table_checks, fused_viols = _fuse_ordered_checks(df, table_checks, keys)
     viols.extend(fused_viols)
@@ -245,6 +274,14 @@ def run_suite(
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
+    if type_verdicts:
+        spark = df.sparkSession
+        verdicts.append(
+            spark.createDataFrame(
+                [("schema", None, cid, None, None if ok else 1, ok) for cid, ok, _ in type_verdicts],
+                "scope string, partition_id int, check string, n_rows long, n_violations long, passed boolean",
+            )
+        )
     all_verdicts = verdicts[0]
     for v in verdicts[1:] + [table_verdicts]:
         all_verdicts = all_verdicts.unionByName(v)

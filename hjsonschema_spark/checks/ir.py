@@ -220,6 +220,67 @@ class NotNullIf(RowCheck):
 
 @_register
 @dataclass(frozen=True)
+class ArraySize(RowCheck):
+    """maxItems/minItems on an array column (Array.hs:28-55).
+    NULL array => vacuous pass."""
+    kind: ClassVar[str] = "array_size"
+    column: str = ""
+    min_items: int | None = None
+    max_items: int | None = None
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("array_size: column must be set")
+        if self.min_items is None and self.max_items is None:
+            raise ConfigInvalid("array_size: at least one bound")
+
+
+@_register
+@dataclass(frozen=True)
+class ArrayUnique(RowCheck):
+    """uniqueItems at row scope (Array.hs:73-77): all elements of the
+    array column distinct. Spark equality is typed; for the reference's
+    mathematical cross-type equality normalize the column first."""
+    kind: ClassVar[str] = "array_unique"
+    column: str = ""
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("array_unique: column must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class ArrayForAll(RowCheck):
+    """`items` (object form, Array.hs:156-161): every element satisfies
+    a SQL predicate over the element variable `x`."""
+    kind: ClassVar[str] = "array_forall"
+    column: str = ""
+    element_predicate: str = ""  # SQL expr over `x`, e.g. "x > 0"
+
+    def validate_config(self):
+        if not self.column or not self.element_predicate:
+            raise ConfigInvalid("array_forall: column and element_predicate must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class TypeIs(RowCheck):
+    """`type` keyword lifted to schema conformance: the column's
+    declared Spark type must match (checked at compile time against
+    df.schema — a static check, no per-row work, like the reference
+    classifying the value's type, Any.hs:320-341)."""
+    kind: ClassVar[str] = "type_is"
+    column: str = ""
+    type_name: str = ""  # Spark simpleString, e.g. "string", "int", "array<float>"
+
+    def validate_config(self):
+        if not self.column or not self.type_name:
+            raise ConfigInvalid("type_is: column and type_name must be set")
+
+
+@_register
+@dataclass(frozen=True)
 class Custom(RowCheck):
     """Escape hatch: a SQL boolean expression over the row. The
     analogue of the reference's user-composable Specs (README.md:3)."""

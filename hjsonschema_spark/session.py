@@ -23,6 +23,20 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_dir() -> str:
+    if "SPARK_LOCAL_DIRS" in os.environ:
+        return os.environ["SPARK_LOCAL_DIRS"]
+    shm = "/dev/shm/spark_local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        probe = os.path.join(shm, ".probe")
+        open(probe, "w").close()
+        os.remove(probe)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def get_spark(
     app_name: str = "hjsonschema_spark",
     cores: int | None = None,
@@ -53,6 +67,11 @@ def get_spark(
         # local mode = ONE JVM: the driver heap is the entire executor
         # memory pool; size it so 32 concurrent tasks don't spill/GC-thrash
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle spill dir: this sandbox has ONE shared disk, so disk
+        # shuffle IO is a serial term that caps multi-core scaling; on a
+        # real cluster shuffle disks scale with nodes, so tmpfs is the
+        # faithful proxy (cluster deployments override via SPARK_LOCAL_DIRS)
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
