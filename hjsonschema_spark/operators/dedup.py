@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hjsonschema_spark.functions import doc_fingerprint, fan_out, token_shingles
+from hjsonschema_spark.functions.columns import exploded_shingles
 
 _MERSENNE = (1 << 61) - 1
 
@@ -69,10 +70,9 @@ def minhash_signatures(
     exactly once per shingle (a nested transform-per-permutation
     formulation rehashes every string num_hashes times)."""
     df = fan_out(df)
-    ex = df.select(
-        F.col(id_col),
-        F.explode(token_shingles(F.col(text_col), k=shingle_k)).alias("_sh"),
-    ).select(F.col(id_col), F.xxhash64("_sh", F.lit(seed)).alias("_h"))
+    ex = exploded_shingles(df, id_col, text_col, k=shingle_k).select(
+        F.col(id_col), F.xxhash64("shingle", F.lit(seed)).alias("_h")
+    )
     aggs = [
         F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
     ]
@@ -146,14 +146,11 @@ def ngram_jaccard_pairs(
     Candidate generation via explode + self-join on the shingle —
     the LSH verifier / small-corpus oracle."""
     df = fan_out(df)
-    sh = df.select(
-        F.col(id_col), token_shingles(F.col(text_col), k=shingle_k).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
     # join on a 64-bit shingle hash, not the string — 8-byte shuffle/
     # join keys instead of ~20-char strings (collisions: ~n²/2⁶⁴, nil)
-    ex = sh.select(
-        id_col, "n_sh", F.explode("shingles").alias("_s")
-    ).select(id_col, "n_sh", F.xxhash64("_s").alias("shingle"))
+    ex = exploded_shingles(df, id_col, text_col, k=shingle_k).select(
+        id_col, "n_sh", F.xxhash64("shingle").alias("shingle")
+    )
     a = ex.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
     inter = (
