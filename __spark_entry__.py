@@ -20,6 +20,9 @@ from hjsonschema_spark.checks import (
     CheckSuite,
     Contiguous,
     Enum,
+    Length,
+    MultipleOf,
+    Pattern,
     Required,
     UniqueKey,
     run_suite,
@@ -53,6 +56,9 @@ _LINEITEM_SUITE = CheckSuite(
         Required(column="l_shipdate"),
         Bounds(column="l_discount", min=0.0, max=0.1),
         Enum(column="l_returnflag", values=("A", "N", "R")),
+        Length(column="l_linestatus", min_len=1, max_len=1),
+        Pattern(column="l_returnflag", regex="^[ANR]$"),
+        MultipleOf(column="l_tax", n=0.01),
         UniqueKey(columns=("l_orderkey", "l_linenumber")),
         Contiguous(order_column="l_linenumber", group_by=("l_orderkey",), start=1),
     ),
