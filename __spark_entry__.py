@@ -216,19 +216,22 @@ def _minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=15)
+    # max_hamming=3 => 4 bands of 16-bit chunks (>=2^16 join keys);
+    # max_hamming=15 forced 4-bit chunks / 256 keys — a near-quadratic
+    # self-join (VERDICT r1)
+    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_duplicates(emb, min_cosine=0.5, n_planes=6)
+    out = dedup.embedding_near_duplicates(emb, min_cosine=0.5, bands=8, planes_per_band=8)
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r"))
 
 
 def _cosine_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=6)
+    out = similarity.cosine_topk_lsh(emb, queries, k=5, bands=4, planes_per_band=6)
     return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine_r"), "rank")
 
 
@@ -369,7 +372,9 @@ SELECT * FROM uniq UNION ALL SELECT * FROM contig
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
         stats_parts.append(
             f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
-            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            # ::BIGINT — DuckDB sums of integer CASE expressions are HUGEINT,
+            # which hash-serializes differently from Spark's BIGINT
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, "
             f"round(min({c})::DOUBLE, 6) AS min_val, round(max({c})::DOUBLE, 6) AS max_val, "
             f"count(DISTINCT {c}) AS n_distinct FROM lineitem"
         )

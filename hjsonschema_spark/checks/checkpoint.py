@@ -108,33 +108,41 @@ class CheckpointedRun:
         totals = {"n_rows": 0, "n_violations": 0, "batches": 0, "skipped_files": len(done)}
         for batch in batches:
             t0 = time.perf_counter()
-            df = spark.read.parquet(*batch)
-            res = run_suite(df, suite, registry=registry, vocab_tables=vocab_tables)
             batch_id = uuid.uuid4().hex[:12]
+            # two-phase commit against the crash window: a 'started' row
+            # lands BEFORE any violations, 'done' only after they are
+            # fully written. A crash in between leaves orphan violation
+            # rows whose batch_id has no 'done' checkpoint — readers
+            # (violations()) filter those out, so resume reprocessing
+            # the batch cannot double-count.
+            self._append_ckpt(
+                spark, batch_id, run_id, suite.name, version, batch, None, None, None, "started"
+            )
+            df = spark.read.parquet(*batch)
+            # persist=True: violations write + summary + verdict-derived
+            # row count = three consumers of one fused pass (CLAUDE.md
+            # invariant: violations materialize FIRST, filling the cache)
+            res = run_suite(
+                df, suite, registry=registry, vocab_tables=vocab_tables, persist=True
+            )
             viols = res.violations.withColumn("batch_id", F.lit(batch_id)).withColumn(
                 "run_id", F.lit(run_id)
             )
             viols.write.mode("append").parquet(self._viol_path)
             summary = res.summary()
-            n_rows = df.count()
+            # row count from the partition verdicts (cache hit on the
+            # slim fused pass) — not a separate df.count() scan
+            n_rows = (
+                res.verdicts.filter(F.col("scope") == "partition")
+                .agg(F.sum("n_rows"))
+                .first()[0]
+                or 0
+            )
+            res.unpersist()
             wall = time.perf_counter() - t0
-            ckpt_row = [
-                (
-                    batch_id,
-                    run_id,
-                    suite.name,
-                    version,
-                    _snapshot_id(batch),
-                    list(batch),
-                    len(batch),
-                    n_rows,
-                    summary["n_violations"],
-                    wall,
-                    "done",
-                )
-            ]
-            spark.createDataFrame(ckpt_row, _CKPT_SCHEMA).write.mode("append").parquet(
-                self._ckpt_path
+            self._append_ckpt(
+                spark, batch_id, run_id, suite.name, version, batch,
+                n_rows, summary["n_violations"], wall, "done",
             )
             totals["n_rows"] += n_rows
             totals["n_violations"] += summary["n_violations"]
@@ -144,8 +152,29 @@ class CheckpointedRun:
         totals["run_id"] = run_id
         return totals
 
+    def _append_ckpt(
+        self, spark, batch_id, run_id, suite_name, version, batch, n_rows, n_viol, wall, status
+    ) -> None:
+        row = [
+            (
+                batch_id, run_id, suite_name, version, _snapshot_id(batch),
+                list(batch), len(batch), n_rows, n_viol, wall, status,
+            )
+        ]
+        spark.createDataFrame(row, _CKPT_SCHEMA).write.mode("append").parquet(self._ckpt_path)
+
     def violations(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._viol_path)
+        """Committed violations only: rows from batches with a 'done'
+        checkpoint. Orphans from a crash between the violations write
+        and the 'done' row are excluded, so a resumed run's union equals
+        a single-shot run even across crashes."""
+        committed = (
+            spark.read.parquet(self._ckpt_path)
+            .filter(F.col("status") == "done")
+            .select("batch_id")
+            .distinct()
+        )
+        return spark.read.parquet(self._viol_path).join(committed, "batch_id", "left_semi")
 
     def checkpoints(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._ckpt_path)

@@ -245,12 +245,15 @@ def _as_violations(df: DataFrame, key_columns: tuple, check: str, column: str | 
 
 def run_unique_key(df: DataFrame, c: UniqueKey, key_columns: tuple) -> DataFrame:
     """groupBy-having (map-side partial agg shrinks the shuffle when
-    keys are mostly unique), then broadcast the — presumably tiny —
-    duplicate-key set back to tag every offending row."""
+    keys are mostly unique), then join the duplicate-key set back to
+    tag every offending row. No forced broadcast: the dup set is
+    usually tiny and AQE will pick a broadcast join when it actually
+    fits, but on boilerplate-heavy corpora it can be billions of rows —
+    a broadcast hint there is an OOM, a shuffle join is not."""
     cols = list(c.columns)
     slim = df.select(*dict.fromkeys([*cols, *key_columns]))
     dup_keys = slim.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") > 1)
-    tagged = slim.join(F.broadcast(dup_keys), on=cols, how="inner")
+    tagged = slim.join(dup_keys, on=cols, how="inner")
     return _as_violations(tagged, key_columns, check_id(c), ",".join(cols), F.col("_n"))
 
 
@@ -348,12 +351,25 @@ def run_ordered_fused(
             .withColumn("_mn", F.min(o).over(w_grp))
             .withColumn("_mx", F.max(o).over(w_grp))
             .withColumn("_n", F.count(o).over(w_grp))
-            .withColumn("_nd", F.sum((F.col("_rnk") == 1).cast("long")).over(w_grp))
+            # NULL-excluding distinct count: a NULL order_column forms
+            # its own w_key partition and would count as one "distinct"
+            # value, diverging from run_contiguous's count_distinct
+            # (NULL-excluding) and the SQL oracle's count(DISTINCT)
+            .withColumn(
+                "_nd",
+                F.sum(((F.col("_rnk") == 1) & o.isNotNull()).cast("long")).over(w_grp),
+            )
             .withColumn("_grn", F.row_number().over(w_ord))
         )
     out: list[DataFrame] = []
     if unique is not None:
-        viol = base.filter(F.col("_kc") > 1)
+        # rows with a NULL in any unique-key column are never reported:
+        # run_unique_key's equi-join back (and the SQL oracle's JOIN
+        # USING) are NULL-rejecting — NULL policy belongs to Required
+        non_null_key = reduce(
+            lambda a, b: a & b, (F.col(c).isNotNull() for c in (*g, order_col))
+        )
+        viol = base.filter((F.col("_kc") > 1) & non_null_key)
         out.append(
             _as_violations(
                 viol, key_columns, check_id(unique), ",".join(unique.columns), F.col("_kc")
@@ -404,9 +420,31 @@ def run_ordered_fused(
     return out
 
 
-def run_null_rate(df: DataFrame, c: NullRateMax) -> tuple[bool, float]:
-    rate = df.select(
-        F.avg(F.col(c.column).isNull().cast("double")).alias("r")
-    ).first()["r"]
-    rate = rate or 0.0
-    return rate <= c.max_rate, rate
+def run_null_rates(df: DataFrame, checks: list[NullRateMax]) -> DataFrame:
+    """ALL null-rate checks in ONE lazy aggregation (column-pruned scan
+    of just the checked columns; partial+final agg) — returns verdict
+    rows, no eager driver job."""
+    aggs = [
+        F.avg(F.col(c.column).isNull().cast("double")).alias(f"_r{i}")
+        for i, c in enumerate(checks)
+    ]
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(check_id(c)).alias("check"),
+                (F.coalesce(F.col(f"_r{i}"), F.lit(0.0)) <= F.lit(float(c.max_rate))).alias(
+                    "ok"
+                ),
+            )
+            for i, c in enumerate(checks)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select(
+        F.lit("table").alias("scope"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.col("s.check").alias("check"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_violations"),
+        F.col("s.ok").alias("passed"),
+    )

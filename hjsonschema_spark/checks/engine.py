@@ -45,9 +45,25 @@ class ValidationResult:
     verdicts: DataFrame  # scope, partition_id, check, n_rows, n_violations, passed
     stats: DataFrame | None = None
     _summary: dict[str, Any] | None = field(default=None, repr=False)
+    _persisted: tuple = field(default=(), repr=False)
 
     def passed(self) -> bool:
-        return self.summary()["n_violations"] == 0
+        """True iff zero violation rows AND every table/schema-scope
+        verdict passed (null-rate and type-conformance failures appear
+        only as verdicts, never as violation rows)."""
+        if self.summary()["n_violations"] > 0:
+            return False
+        bad = (
+            self.verdicts.filter(F.col("scope").isin("table", "schema") & ~F.col("passed"))
+            .limit(1)
+            .count()
+        )
+        return bad == 0
+
+    def unpersist(self) -> None:
+        """Release frames cached by run_suite(persist=True)."""
+        for d in self._persisted:
+            d.unpersist()
 
     def summary(self) -> dict[str, Any]:
         if self._summary is None:
@@ -63,36 +79,33 @@ class ValidationResult:
         return self._summary
 
 
-def _failing_rows(checked: DataFrame, key_columns: tuple) -> DataFrame:
-    """The fused pass reduced to its violating rows (keys + partition
-    id + failure structs) — tiny relative to the input, so persisting
-    it lets violations AND per-partition verdicts derive from ONE
-    execution of the row pass."""
-    return checked.select(
-        *key_columns, F.spark_partition_id().alias("_pid"), "_failures"
-    ).filter(F.size("_failures") > 0)
+def _slim_pass(checked: DataFrame, key_columns: tuple) -> DataFrame:
+    """The fused pass projected to keys + partition id + failure
+    structs — no payload columns (text etc.), so it is cheap to persist
+    and BOTH the violation rows and the per-partition verdicts derive
+    from ONE execution (one input scan) of the row pass."""
+    return checked.select(*key_columns, F.spark_partition_id().alias("_pid"), "_failures")
 
 
-def _row_violations(failing: DataFrame, key_columns: tuple) -> DataFrame:
+def _row_violations(slim: DataFrame, key_columns: tuple) -> DataFrame:
     f = F.explode("_failures").alias("f")
-    return failing.select(*key_columns, f).select(
-        *key_columns, "f.check", "f.column", "f.value"
-    )
-
-
-def _partition_verdicts(df: DataFrame, failing: DataFrame) -> DataFrame:
-    """Per-input-partition pass/fail: row counts come from a
-    predicate-free count scan (cheap); violating-row counts from the
-    (persisted) failing-rows frame — the fused pass itself runs once."""
-    counts = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
-    viol_counts = failing.groupBy(F.col("_pid").alias("partition_id")).agg(
-        F.count(F.lit(1)).alias("n_violations")
-    )
     return (
-        counts.join(viol_counts, "partition_id", "left")
-        .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
+        slim.filter(F.size("_failures") > 0)
+        .select(*key_columns, f)
+        .select(*key_columns, "f.check", "f.column", "f.value")
+    )
+
+
+def _partition_verdicts(slim: DataFrame) -> DataFrame:
+    """Per-input-partition pass/fail, aggregated from the slim fused
+    pass itself (NOT a second count scan of the input): n_rows = rows
+    seen, n_violations = rows with >=1 failure."""
+    return (
+        slim.groupBy(F.col("_pid").alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.size("_failures") > 0).cast("long")).alias("n_violations"),
+        )
         .select(
             F.lit("partition").alias("scope"),
             "partition_id",
@@ -214,16 +227,36 @@ def run_suite(
 
     keys = suite.key_columns
     checked = C.compile_fused_pass(df, row_checks)
-    # NOTE: `checked` is deliberately NOT persisted even when
-    # persist=True — it carries the full input (text included), so a
+    # NOTE: the full `checked` frame (input + _failures) is never
+    # persisted — it carries the whole payload (text included), so a
     # cache write costs more than re-running the codegen'd fused pass.
-    # Instead the small failing-rows frame is persisted: both the
-    # violation rows and the per-partition verdicts derive from it.
-    failing = _failing_rows(checked, keys)
+    # Instead its narrow projection (keys + pid + failures) is
+    # persisted: violations AND per-partition verdicts both derive from
+    # it, so the input is scanned exactly ONCE per row pass.
+    slim = _slim_pass(checked, keys)
+    persisted: list[DataFrame] = []
     if persist:
-        failing = failing.persist()
-    viols = [_row_violations(failing, keys)]
-    verdicts = [_partition_verdicts(df, failing)]
+        slim = slim.persist()
+        persisted.append(slim)
+    viols = [_row_violations(slim, keys)]
+    verdicts = [_partition_verdicts(slim)]
+
+    # every NullRateMax folds into ONE lazy aggregation pass (column-
+    # pruned scan of just the checked columns, no eager .first() jobs)
+    nullrate_checks = [c for c in table_checks if isinstance(c, NullRateMax)]
+    table_checks = [c for c in table_checks if not isinstance(c, NullRateMax)]
+    if nullrate_checks:
+        verdicts.append(C.run_null_rates(df, nullrate_checks))
+
+    # every violation-producing check gets a check-scope verdict row,
+    # passed=True when it found nothing (resolved before fusion so
+    # fused members keep their ids)
+    from hjsonschema_spark.checks.ir import TypeIs as _TypeIs
+
+    viol_check_ids = sorted(
+        {C.check_id(c) for c in row_checks if not isinstance(c, _TypeIs)}
+        | {C.check_id(c) for c in table_checks}
+    )
 
     table_checks, fused_viols = _fuse_ordered_checks(df, table_checks, keys)
     viols.extend(fused_viols)
@@ -240,16 +273,6 @@ def run_suite(
             v = C.run_contiguous(df, c, keys)
         elif isinstance(c, Monotonic):
             v = C.run_monotonic(df, c, keys)
-        elif isinstance(c, NullRateMax):
-            ok, rate = C.run_null_rate(df, c)
-            spark = df.sparkSession
-            verdicts.append(
-                spark.createDataFrame(
-                    [("table", None, C.check_id(c), None, None, ok)],
-                    "scope string, partition_id int, check string, n_rows long, n_violations long, passed boolean",
-                )
-            )
-            continue
         else:
             raise ConfigInvalid(f"unsupported table check {type(c).__name__}")
         viols.append(v)
@@ -259,12 +282,19 @@ def run_suite(
         all_viols = all_viols.unionByName(v)
     if persist:
         all_viols = all_viols.persist()
+        persisted.append(all_viols)
     # global sort => byte-stable violation output across partition counts
     sorted_viols = all_viols.orderBy(*keys, "check")
 
+    spark = df.sparkSession
+    ids_df = spark.createDataFrame([(i,) for i in viol_check_ids], "check string")
     table_verdicts = (
-        all_viols.groupBy("check")
-        .agg(F.count(F.lit(1)).alias("n_violations"))
+        ids_df.join(
+            all_viols.groupBy("check").agg(F.count(F.lit(1)).alias("n_violations")),
+            "check",
+            "left",
+        )
+        .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)).cast("long"))
         .select(
             F.lit("check").alias("scope"),
             F.lit(None).cast("int").alias("partition_id"),
@@ -275,7 +305,6 @@ def run_suite(
         )
     )
     if type_verdicts:
-        spark = df.sparkSession
         verdicts.append(
             spark.createDataFrame(
                 [("schema", None, cid, None, None if ok else 1, ok) for cid, ok, _ in type_verdicts],
@@ -292,4 +321,5 @@ def run_suite(
         violations=sorted_viols,
         verdicts=all_verdicts,
         stats=column_stats(df) if include_stats else None,
+        _persisted=tuple(persisted),
     )

@@ -58,16 +58,19 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
     expression; measured 16s for 5k docs). Here tokens are exploded
     ONCE and shingles built with window ``lead`` — flat codegen ops,
     one shuffle by id. Docs with fewer than k tokens contribute their
-    whole token string (matching token_shingles / the SQL oracle)."""
+    whole token string (matching token_shingles / the SQL oracle) —
+    including ZERO-token docs, which emit one empty-string shingle
+    (posexplode_outer keeps them as a (NULL, NULL) row; plain posexplode
+    would silently drop them and diverge from the oracle)."""
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok")
+        F.col(id_col), F.posexplode_outer(tokens(F.col(text_col))).alias("_pos", "_tok")
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
     wall = Window.partitionBy(id_col)
     leads = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
-    n_toks = F.count(F.lit(1)).over(wall)
+    n_toks = F.count("_tok").over(wall)  # NULL-excluding: empty doc => 0
     sh = toks.select(
         F.col(id_col),
         n_toks.alias("_n_toks"),
@@ -75,7 +78,7 @@ def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> 
         F.when(n_toks >= k, F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)))
         .otherwise(
             F.when(
-                F.col("_pos") == 0,
+                (F.col("_pos") == 0) | F.col("_pos").isNull(),
                 F.concat_ws(" ", F.collect_list("_tok").over(wall.orderBy("_pos").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))),
             )
         )
@@ -90,6 +93,53 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     n = F.length(s)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - (k - 1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, k)))
+
+
+def hyperplane_band_sketches(
+    vec: Column, dim: int, bands: int, planes_per_band: int, seed: int = 42
+) -> Column:
+    """Array of `bands` sign-LSH band signatures (each a long built
+    from `planes_per_band` hyperplane sign bits). Plane components are
+    seeded pseudo-random values in (-1, 1) derived from xxhash64 —
+    deterministic, zero UDF, computed in the scan stage.
+
+    OR-amplified banding (the same amplification structure as MinHash
+    LSH): two vectors are candidates iff ANY band signature matches
+    exactly. With p = 1 - angle/pi, r = planes_per_band, B = bands,
+    P(candidate) = 1 - (1 - p^r)^B. Bucket count per band is 2^r times
+    the hash spread of the corpus, so candidate sets keep shrinking as
+    the corpus grows — a single fixed-width sketch (one band) caps the
+    bucket count and degenerates to near-quadratic at 1e9+ vectors."""
+    n = bands * planes_per_band
+    dots = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.lit(seed), p, d), F.lit(2000001)) - 1000000
+                    ).cast("double")
+                    / 1000000.0,
+                ),
+                lambda x, pl: x * pl,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = F.transform(
+        dots, lambda t: F.when(t >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * F.lit(planes_per_band) + 1, F.lit(planes_per_band)),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        ),
+    )
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:

@@ -42,8 +42,11 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id")
     )
     dup_groups = groups.filter(F.col("n_copies") > 1)
+    # no broadcast hint: on boilerplate-heavy corpora the dup-group set
+    # can be billions of rows (driver/executor OOM if forced). AQE
+    # broadcasts it at runtime whenever it actually fits.
     return (
-        fp.join(F.broadcast(dup_groups), "fingerprint")
+        fp.join(dup_groups, "fingerprint")
         .select(
             id_col,
             "fingerprint",
@@ -242,36 +245,46 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
-    n_planes: int = 12,
+    bands: int = 8,
+    planes_per_band: int = 10,
     dim: int | None = None,
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Candidates via random-hyperplane
-    LSH (sign sketch over `n_planes` seeded pseudo-random planes — all
-    column ops), verified with exact cosine. At 1e12 scale the sketch
-    join replaces the O(n²) cross join."""
+    """Embedding-cosine near-dup pairs. Candidates via OR-amplified
+    multi-band sign-LSH (see ``hyperplane_band_sketches``: recall
+    1-(1-p^r)^B, per-band bucket count 2^r — the banding structure
+    MinHash LSH uses, so bucket sizes keep shrinking as the corpus
+    grows), verified with exact cosine.
+
+    Plan shape for scale: the banded frame carries IDS ONLY (vectors
+    would be duplicated x bands through the shuffle); candidate pairs
+    join back to the vectors for exact verification. Pathological
+    buckets capped at max_bucket; AQE skew-join handles the rest."""
     from hjsonschema_spark.functions import cosine_similarity
+    from hjsonschema_spark.functions.columns import hyperplane_band_sketches
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     emb = fan_out(emb)
-    # deterministic pseudo-random plane component p[j][d] in (-1,1)
-    def plane_dot(v: Column, j: int) -> Column:
-        comps = F.zip_with(
-            v,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: (F.pmod(F.xxhash64(F.lit(seed), F.lit(j), d), F.lit(2000001)) - 1000000).cast("double") / 1000000.0,
-            ),
-            lambda x, p: x * p,
-        )
-        return F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
+    sketches = hyperplane_band_sketches(F.col(vec_col), dim, bands, planes_per_band, seed)
+    sk = emb.select(F.col(id_col), F.posexplode(sketches).alias("band_idx", "band_sig"))
+    from pyspark.sql import Window
 
-    sketch_bits = [F.when(plane_dot(F.col(vec_col), j) >= 0, 1).otherwise(0) for j in range(n_planes)]
-    sketch = F.conv(F.concat(*[b.cast("string") for b in sketch_bits]), 2, 10).cast("long")
-    sk = emb.select(F.col(id_col), F.col(vec_col), sketch.alias("sketch"))
-    a = sk.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "sketch")
-    b = sk.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "sketch")
-    cand = a.join(b, "sketch").filter(F.col("id_a") < F.col("id_b"))
+    w = Window.partitionBy("band_idx", "band_sig").orderBy(id_col)
+    sk = sk.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= max_bucket)
+    a = sk.select(F.col(id_col).alias("id_a"), "band_idx", "band_sig")
+    b = sk.select(F.col(id_col).alias("id_b"), "band_idx", "band_sig")
+    cand = (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
-    return cand.select("id_a", "id_b", cos.alias("cosine")).filter(F.col("cosine") >= min_cosine)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= min_cosine
+    )

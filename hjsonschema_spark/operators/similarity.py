@@ -40,22 +40,6 @@ def cosine_topk_bruteforce(
     )
 
 
-def _sketch(vec, dim: int, n_planes: int, seed: int):
-    bits = []
-    for j in range(n_planes):
-        comps = F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d, j=j: (F.pmod(F.xxhash64(F.lit(seed), F.lit(j), d), F.lit(2000001)) - 1000000).cast("double") / 1000000.0,
-            ),
-            lambda x, p: x * p,
-        )
-        dot = F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot >= 0, 1).otherwise(0))
-    return F.conv(F.concat(*[b.cast("string") for b in bits]), 2, 10).cast("long")
-
-
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,29 +47,49 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_planes: int = 8,
+    bands: int = 4,
+    planes_per_band: int = 8,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors whose hyperplane
-    sketch is within hamming distance 1 of the query's sketch (bucket +
-    single-bit probes). Recall tunes with n_planes; candidates shrink
-    ~2^-n_planes per probe."""
+    """Approximate top-k: score only corpus vectors sharing at least one
+    band signature with a query (OR-amplified multi-band sign-LSH, see
+    ``hyperplane_band_sketches``), plus 1-bit multi-probe flips of each
+    query band for extra recall. Corpus side carries IDS ONLY through
+    the banded join (vectors would be duplicated x bands); candidates
+    join back to vectors for exact scoring. Candidate fraction per
+    probe ~2^-planes_per_band; recall tunes with bands."""
+    from hjsonschema_spark.functions.columns import hyperplane_band_sketches
+
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col), _sketch(F.col(vec_col), dim, n_planes, seed).alias("sketch"))
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), _sketch(F.col(vec_col), dim, n_planes, seed).alias("qsketch")
+    corpus = fan_out(corpus)
+    sketches = hyperplane_band_sketches(F.col(vec_col), dim, bands, planes_per_band, seed)
+    c_sk = corpus.select(F.col(id_col), F.posexplode(sketches).alias("band_idx", "band_sig"))
+    q_sk = queries.select(
+        F.col(query_id_col), F.posexplode(sketches).alias("band_idx", "band_sig")
     )
-    # multi-probe: query bucket plus all 1-bit flips
-    probes = F.array(F.col("qsketch"), *[F.col("qsketch").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
-    q_probed = q.select(query_id_col, "_qvec", F.explode(probes).alias("sketch"))
-    cand = c.join(F.broadcast(q_probed), "sketch")
+    # multi-probe: each query band bucket plus all its 1-bit flips
+    probes = F.array(
+        F.col("band_sig"),
+        *[F.col("band_sig").bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_band)],
+    )
+    q_probed = q_sk.select(
+        query_id_col, "band_idx", F.explode(probes).alias("band_sig")
+    ).dropDuplicates()
+    cand_ids = (
+        c_sk.join(F.broadcast(q_probed), ["band_idx", "band_sig"])
+        .select(query_id_col, id_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
+        F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("_qvec"))),
+        query_id_col,
+    )
     cos = cosine_similarity(F.col(vec_col), F.col("_qvec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         cand.select(query_id_col, id_col, cos.alias("cosine"))
-        .dropDuplicates([query_id_col, id_col])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

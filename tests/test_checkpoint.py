@@ -36,7 +36,9 @@ def test_interrupt_and_resume(spark, input_path, tmp_path):
     first = store.run(spark, input_path, SUITE, files_per_batch=3, max_batches=2)
     assert first["batches"] == 2 and first["remaining_files"] > 0
     ck = store.checkpoints(spark)
-    assert ck.count() == 2
+    # two-phase commit: one 'started' + one 'done' row per batch
+    assert ck.filter("status = 'done'").count() == 2
+    assert ck.filter("status = 'started'").count() == 2
     # resume: completes the rest, skips the 6 done files
     second = store.run(spark, input_path, SUITE, files_per_batch=3)
     assert second["skipped_files"] == 6
@@ -52,7 +54,8 @@ def test_interrupt_and_resume(spark, input_path, tmp_path):
     # lineage rows carry manifest + metrics
     rows = store.checkpoints(spark).collect()
     assert all(r["n_files"] == len(r["file_manifest"]) for r in rows)
-    assert all(r["status"] == "done" and r["wall_sec"] > 0 for r in rows)
+    done = [r for r in rows if r["status"] == "done"]
+    assert done and all(r["wall_sec"] > 0 and r["n_rows"] > 0 for r in done)
     assert {r["check_version"] for r in rows} == {check_version(SUITE)}
 
 
@@ -72,3 +75,26 @@ def test_noop_when_everything_done(spark, input_path, tmp_path):
     store.run(spark, input_path, SUITE, files_per_batch=100)
     again = store.run(spark, input_path, SUITE, files_per_batch=100)
     assert again["batches"] == 0 and again["n_rows"] == 0
+
+
+def test_crash_between_violations_and_done_does_not_duplicate(spark, input_path, tmp_path):
+    """Crash window: violations written but no 'done' row. The resumed
+    run reprocesses the batch; violations() must still equal the
+    single-shot result (orphan rows filtered out by batch_id)."""
+    store = CheckpointedRun(str(tmp_path / "store4"))
+    store.run(spark, input_path, SUITE, files_per_batch=3, max_batches=1)
+    # simulate the crash: demote the batch's 'done' row to an orphan by
+    # replaying its violations under a fresh batch_id with no checkpoint
+    orphan = store.violations(spark).withColumn("batch_id", F.lit("deadbeef0000"))
+    orphan.write.mode("append").parquet(store._viol_path)
+    store.run(spark, input_path, SUITE, files_per_batch=3)  # finish the rest
+    got = {
+        (r["conv_id"], r["turn_idx"], r["check"])
+        for r in store.violations(spark).collect()
+    }
+    ref = run_suite(spark.read.parquet(input_path), SUITE)
+    want = {(r["conv_id"], r["turn_idx"], r["check"]) for r in ref.violations.collect()}
+    assert got == want
+    # the orphan rows exist on disk but are invisible to readers
+    raw = spark.read.parquet(store._viol_path)
+    assert raw.filter("batch_id = 'deadbeef0000'").count() > 0

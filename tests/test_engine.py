@@ -159,6 +159,55 @@ def test_combinators_and_custom(spark, clean):
     assert res.summary()["n_violations"] == 0
 
 
+def test_fused_equals_unfused_with_null_order_values(spark):
+    """ADVICE r1: the fused ordered pass must agree with the per-check
+    passes when the order column contains NULLs (NULL-excluding
+    distinct count, like count_distinct / SQL count(DISTINCT))."""
+    rows = [
+        ("c1", 1, 10), ("c1", 2, 20), ("c1", None, 30),  # NULL turn, contiguous otherwise
+        ("c2", 1, 1), ("c2", 3, 2),                       # gap
+        ("c3", None, 1), ("c3", None, 2),                 # duplicate NULL keys, empty order set
+        ("c4", 1, 5), ("c4", 1, 6), ("c4", 2, 7),         # duplicate key
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts int")
+    uk = UniqueKey(columns=KEYS)
+    ct = Contiguous(order_column="turn_idx", group_by=("conv_id",), start=1)
+    fused = run_suite(df, _suite(uk, ct))  # shares (conv_id, turn_idx) => fused path
+    sep_u = run_suite(df, _suite(uk))
+    sep_c = run_suite(df, _suite(ct))
+
+    def keyset(res):
+        return {(r["conv_id"], r["turn_idx"], r["check"]) for r in res.violations.collect()}
+
+    assert keyset(fused) == keyset(sep_u) | keyset(sep_c)
+    # full row equality including the JSON value payload
+    a = [tuple(r) for r in fused.violations.collect()]
+    b = [tuple(r) for r in sep_u.violations.unionByName(sep_c.violations).orderBy(*KEYS, "check").collect()]
+    assert a == b
+
+
+def test_verdicts_complete_and_passed_consults_them(spark, clean):
+    """ADVICE r1: zero-violation checks get a passed=True check-scope
+    verdict row, and a failing NullRateMax flips passed() even with
+    zero violation rows."""
+    suite = _suite(
+        Enum(column="role", values=tuple(ROLE_VOCAB)),
+        UniqueKey(columns=KEYS),
+        NullRateMax(column="conv_id", max_rate=0.0),
+        NullRateMax(column="tool", max_rate=0.0),  # tool is null off tool_use turns
+    )
+    res = run_suite(clean, suite)
+    assert res.summary()["n_violations"] == 0
+    assert res.passed() is False
+    checks = {r["check"]: r for r in res.verdicts.filter("scope = 'check'").collect()}
+    assert checks["enum:role"]["passed"] is True
+    assert checks["enum:role"]["n_violations"] == 0
+    assert checks["unique_key:conv_id,turn_idx"]["passed"] is True
+    tbl = {r["check"]: r["passed"] for r in res.verdicts.filter("scope = 'table'").collect()}
+    assert tbl["null_rate_max:conv_id"] is True
+    assert tbl["null_rate_max:tool"] is False
+
+
 def test_suite_json_roundtrip():
     suite = _suite(
         Required(column="role"),

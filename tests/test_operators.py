@@ -88,9 +88,50 @@ def emb(spark):
 def test_embedding_near_duplicates(spark, emb):
     out = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in dedup.embedding_near_duplicates(emb, min_cosine=0.99, n_planes=8).collect()
+        for r in dedup.embedding_near_duplicates(
+            emb, min_cosine=0.99, bands=8, planes_per_band=8
+        ).collect()
     }
     assert (0, 1) in out and out[(0, 1)] > 0.99
+
+
+def test_embedding_lsh_recall_within_candidate_budget(spark):
+    """Multi-band amplification KAT: on planted clusters, banded
+    sign-LSH must recall >=90% of the true >=0.9-cosine pairs while
+    generating only a fraction of the n*(n-1)/2 possible pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 16))
+    vecs = []
+    for ci, c in enumerate(centers):
+        for _ in range(6):  # 6 tight copies per cluster => dense true pairs
+            vecs.append(c + 0.05 * rng.normal(size=16))
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n = len(rows)
+    # exact truth via cross join
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    from hjsonschema_spark.functions import cosine_similarity
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("v_a"), F.col("v_b")) >= 0.9)
+        .collect()
+    }
+    assert len(truth) >= 100
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_duplicates(
+            df, min_cosine=0.9, bands=8, planes_per_band=10
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9
+    assert got <= truth  # exact verification => no false positives
 
 
 def test_cosine_topk_brute_vs_lsh(spark, emb):
@@ -102,7 +143,7 @@ def test_cosine_topk_brute_vs_lsh(spark, emb):
         assert got[(q, 1)] == q
     # near-dup pair: 1 is 0's 2nd neighbor
     assert got[(0, 2)] == 1
-    lsh = similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=6)
+    lsh = similarity.cosine_topk_lsh(emb, queries, k=5, bands=4, planes_per_band=6)
     lsh_got = {(r["query_id"], r["rank"]): r["vec_id"] for r in lsh.collect()}
     for q in [0, 1, 2]:
         assert lsh_got[(q, 1)] == q  # self-bucket always probed

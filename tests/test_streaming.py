@@ -49,4 +49,7 @@ def test_available_now_incremental(spark, tmp_path):
     assert spark.read.parquet(f"{out}/violations").count() == n_bad_1 + n_bad_2
 
     verd = spark.read.parquet(f"{out}/verdicts")
-    assert {r["check"] for r in verd.collect()} == {"enum:role"}
+    # every check gets a verdict row per batch; only enum:role failed
+    assert {r["check"] for r in verd.collect()} == {"enum:role", "required:role"}
+    assert {r["check"] for r in verd.filter("NOT passed").collect()} == {"enum:role"}
+    assert verd.filter("check = 'required:role' AND NOT passed").count() == 0
