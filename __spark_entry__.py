@@ -16,13 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hjsonschema_spark.checks import (
+    ArrayPositional,
     Bounds,
     CheckSuite,
+    ColumnsAllowed,
     Contiguous,
     Enum,
     Length,
     MultipleOf,
+    NonNullCount,
     Pattern,
+    PatternColumns,
     Required,
     UniqueKey,
     run_suite,
@@ -245,6 +249,74 @@ def _draft4_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("event_id", "_valid")
 
 
+_LINEITEM_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+)
+
+
+def _schema_conformance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-keyword lifts: PatternColumns (patternProperties) expands
+    a Bounds template over the discount/tax column family;
+    ColumnsAllowed (additionalProperties=false) and NonNullCount
+    (minProperties) guard the schema shape."""
+    suite = CheckSuite(
+        name="lineitem_schema",
+        key_columns=("l_orderkey", "l_linenumber"),
+        checks=(
+            PatternColumns(
+                name_regex="^l_(discount|tax)$", check=Bounds(column="", min=0.02)
+            ),
+            ColumnsAllowed(columns=("l_orderkey", "l_linenumber"), patterns=("^l_",)),
+            NonNullCount(columns=_LINEITEM_COLS, min_count=11),
+        ),
+    )
+    res = run_suite(_t(spark, sf_dir, "lineitem"), suite)
+    return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
+        "column", "col_name"
+    )
+
+
+def _non_null_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minProperties lifted to row scope: count of present (non-null)
+    fields must reach the bound; `opt_props` is derived nullable so the
+    check has real violations."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "opt_props", F.when(F.col("value") > 0.5, F.col("props"))
+    )
+    cols = ("event_id", "user_id", "event_type", "ts", "value", "opt_props")
+    suite = CheckSuite(
+        name="events_props",
+        key_columns=("event_id",),
+        checks=(NonNullCount(columns=cols, min_count=6),),
+    )
+    res = run_suite(ev, suite)
+    return res.violations.select("event_id", F.col("value").alias("n_present"))
+
+
+def _array_positional_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """items (array form) + additionalItems over a packed array column:
+    position 0 = quantity >= 1, position 1 = discount <= 0.06,
+    remainder (tax) governed by the additional predicate x <= 0.06."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "vals", F.array("l_quantity", "l_discount", "l_tax")
+    )
+    suite = CheckSuite(
+        name="lineitem_positional",
+        key_columns=("l_orderkey", "l_linenumber"),
+        checks=(
+            ArrayPositional(
+                column="vals",
+                element_predicates=("x >= 1", "x <= 0.06"),
+                additional="x <= 0.06",
+            ),
+        ),
+    )
+    res = run_suite(li, suite)
+    return res.violations.select("l_orderkey", "l_linenumber", "check", "value")
+
+
 def _topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 2 highest-value orders per customer (sorts/limits
     coverage, SURVEY §2.7)."""
@@ -304,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "chi2_event_type": _chi2_event_type,
         "ks_value": _ks_value,
+        "schema_conformance_lineitem": _schema_conformance_lineitem,
+        "non_null_count_events": _non_null_count_events,
+        "array_positional_lineitem": _array_positional_lineitem,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "revenue_per_nation": _revenue_per_nation,
         "draft4_validate_events_props": _draft4_validate_events_props,
@@ -536,6 +611,46 @@ e AS (
 SELECT round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6) AS d_stat,
        max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b
 FROM e
+"""
+
+    nn11 = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)"
+        for c in _LINEITEM_COLS
+    )
+    sql["schema_conformance_lineitem"] = f"""
+SELECT l_orderkey, l_linenumber, 'bounds:l_discount' AS check_name,
+       'l_discount' AS col_name, l_discount::VARCHAR AS value
+FROM lineitem WHERE l_discount < 0.02
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'bounds:l_tax' AS check_name,
+       'l_tax' AS col_name, l_tax::VARCHAR AS value
+FROM lineitem WHERE l_tax < 0.02
+UNION ALL
+SELECT l_orderkey, l_linenumber,
+       'non_null_count:{",".join(_LINEITEM_COLS)}' AS check_name,
+       '{",".join(_LINEITEM_COLS)}' AS col_name,
+       ({nn11})::VARCHAR AS value
+FROM lineitem WHERE ({nn11}) < 11
+"""
+
+    nn6 = (
+        "(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END)"
+        " + (CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)"
+        " + (CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END)"
+        " + (CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END)"
+        " + (CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)"
+        " + (CASE WHEN value > 0.5 AND props IS NOT NULL THEN 1 ELSE 0 END)"
+    )
+    sql["non_null_count_events"] = (
+        f"SELECT event_id, ({nn6})::VARCHAR AS n_present FROM events WHERE ({nn6}) < 6"
+    )
+
+    sql["array_positional_lineitem"] = """
+SELECT l_orderkey, l_linenumber, 'array_positional:vals' AS "check",
+       '[' || l_quantity::VARCHAR || ', ' || l_discount::VARCHAR || ', '
+           || l_tax::VARCHAR || ']' AS value
+FROM lineitem
+WHERE NOT (l_quantity >= 1) OR NOT (l_discount <= 0.06) OR NOT (l_tax <= 0.06)
 """
 
     sql["topk_orders_per_customer"] = """

@@ -25,21 +25,26 @@ from hjsonschema_spark.checks.ir import (
     AllOf,
     AnyOf,
     ArrayForAll,
+    ArrayPositional,
     ArraySize,
     ArrayUnique,
     Bounds,
     Check,
+    ColumnsAllowed,
     ConfigInvalid,
     Custom,
     Enum,
     Length,
+    MapSize,
     Monotonic,
     MultipleOf,
+    NonNullCount,
     Not,
     NotNullIf,
     NullRateMax,
     OneOf,
     Pattern,
+    PatternColumns,
     RefIntegrity,
     Required,
     RowCheck,
@@ -80,6 +85,16 @@ def check_id(c: Check) -> str:
         return f"array_forall:{c.column}"
     if isinstance(c, TypeIs):
         return f"type_is:{c.column}"
+    if isinstance(c, NonNullCount):
+        return f"non_null_count:{','.join(c.columns)}"
+    if isinstance(c, MapSize):
+        return f"map_size:{c.column}"
+    if isinstance(c, ArrayPositional):
+        return f"array_positional:{c.column}"
+    if isinstance(c, ColumnsAllowed):
+        return "columns_allowed"
+    if isinstance(c, PatternColumns):
+        return f"pattern_columns:{c.name_regex}"
     if isinstance(c, Custom):
         return f"custom:{c.name}"
     if isinstance(c, AllOf):
@@ -165,11 +180,54 @@ def compile_row_predicate(c: RowCheck) -> Column:
         return _guard(col, reduce(lambda a, b: a & b, preds))
     if isinstance(c, ArrayUnique):
         col = F.col(c.column)
+        if c.numeric_canonical:
+            # mathematical equality (Utils.hs:94-119): canonicalize to
+            # decimal before comparing, so 1 == 1.0 == 1.00
+            canon = F.transform(col, lambda x: x.cast("decimal(38,18)"))
+            return _guard(col, F.size(F.array_distinct(canon)) == F.size(canon))
         return _guard(col, F.size(F.array_distinct(col)) == F.size(col))
     if isinstance(c, ArrayForAll):
         col = F.col(c.column)
         pred = F.expr(f"forall({c.column}, x -> coalesce(({c.element_predicate}), false))")
         return _guard(col, pred)
+    if isinstance(c, NonNullCount):
+        cnt = reduce(
+            lambda a, b: a + b, (F.col(x).isNotNull().cast("int") for x in c.columns)
+        )
+        preds = []
+        if c.min_count is not None:
+            preds.append(cnt >= c.min_count)
+        if c.max_count is not None:
+            preds.append(cnt <= c.max_count)
+        # always applicable (the count itself is never NULL)
+        return reduce(lambda a, b: a & b, preds)
+    if isinstance(c, MapSize):
+        col = F.col(c.column)
+        preds = []
+        if c.min_props is not None:
+            preds.append(F.size(col) >= c.min_props)
+        if c.max_props is not None:
+            preds.append(F.size(col) <= c.max_props)
+        return _guard(col, reduce(lambda a, b: a & b, preds))
+    if isinstance(c, ArrayPositional):
+        col = F.col(c.column)
+        n = len(c.element_predicates)
+        # forall over a 1-element slice: empty slice (missing element)
+        # => true, matching "a missing positional element passes"
+        preds = [
+            F.expr(f"forall(slice({c.column}, {i + 1}, 1), x -> coalesce(({ep}), false))")
+            for i, ep in enumerate(c.element_predicates)
+        ]
+        if c.additional == "none":
+            preds.append(F.size(col) <= n)
+        elif c.additional != "any":
+            preds.append(
+                F.expr(
+                    f"forall(slice({c.column}, {n + 1}, 1000000000), "
+                    f"x -> coalesce(({c.additional}), false))"
+                )
+            )
+        return _guard(col, reduce(lambda a, b: a & b, preds))
     if isinstance(c, TypeIs):
         # resolved statically in compile_fused_pass (schema conformance)
         return F.lit(True)
@@ -197,6 +255,38 @@ def compile_row_predicate(c: RowCheck) -> Column:
 
 
 def _violating_value(c: RowCheck) -> Column:
+    if isinstance(c, OneOf):
+        # failure-detail parity with the reference's oneOf
+        # (Any.hs:416-482): distinguish NoSuccesses from
+        # TooManySuccesses and report the indices of passing branches
+        flags = F.array(*[compile_row_predicate(k) for k in c.checks])
+        passed_idx = F.filter(
+            F.transform(flags, lambda b, i: F.when(b, i)), lambda x: x.isNotNull()
+        )
+        n_passed = F.size(passed_idx)
+        kind = F.when(n_passed == 0, F.lit("no_successes")).otherwise(
+            F.lit("too_many_successes")
+        )
+        return F.to_json(
+            F.struct(
+                kind.alias("failure"),
+                n_passed.alias("n_passed"),
+                passed_idx.alias("passed_branches"),
+            )
+        )
+    if isinstance(c, AllOf):
+        # per-branch detail (Any.hs:364-377): the indices of the
+        # failing branches (branch check-ids are in the check id)
+        flags = F.array(*[compile_row_predicate(k) for k in c.checks])
+        failed_idx = F.filter(
+            F.transform(flags, lambda b, i: F.when(~b, i)), lambda x: x.isNotNull()
+        )
+        return F.to_json(F.struct(failed_idx.alias("failed_branches")))
+    if isinstance(c, NonNullCount):
+        cnt = reduce(
+            lambda a, b: a + b, (F.col(x).isNotNull().cast("int") for x in c.columns)
+        )
+        return cnt.cast("string")
     col = getattr(c, "column", None)
     if col:
         return F.col(col).cast("string")
@@ -204,6 +294,8 @@ def _violating_value(c: RowCheck) -> Column:
 
 
 def _primary_column(c: RowCheck) -> str | None:
+    if isinstance(c, NonNullCount):
+        return ",".join(c.columns)
     return getattr(c, "column", None) or getattr(c, "name", None)
 
 

@@ -207,17 +207,57 @@ def run_suite(
         reg.add(suite)
     resolved = reg.resolve(suite.name)
 
+    # schema-scope resolution — all static, no per-row work:
+    #   PatternColumns expands its row-check template over the matching
+    #   column names (patternProperties analogue, Properties.hs:119-172;
+    #   uncompilable regexes skipped silently per Properties.hs:150-155);
+    #   ColumnsAllowed computes the "matched by neither" remainder
+    #   (additionalProperties=false, Properties.hs:175-209)
+    import dataclasses
+    import re as _re
+
+    from hjsonschema_spark.checks.ir import ColumnsAllowed, PatternColumns, TypeIs
+
+    expanded: list = []
+    schema_verdicts: list[tuple[str, bool, int | None]] = []
+    for c in resolved:
+        if isinstance(c, PatternColumns):
+            try:
+                rx = _re.compile(c.name_regex)
+            except _re.error:
+                continue  # skipped silently (reference semantics)
+            expanded.extend(
+                dataclasses.replace(c.check, column=col)
+                for col in df.columns
+                if rx.search(col)
+            )
+        elif isinstance(c, ColumnsAllowed):
+            pats = []
+            for p in c.patterns:
+                try:
+                    pats.append(_re.compile(p))
+                except _re.error:
+                    pass  # skipped silently
+            declared = set(c.columns)
+            remainder = [
+                col
+                for col in df.columns
+                if col not in declared and not any(r.search(col) for r in pats)
+            ]
+            schema_verdicts.append(
+                (C.check_id(c), not remainder, len(remainder) or None)
+            )
+        else:
+            expanded.append(c)
+    resolved = tuple(expanded)
+
     # static schema conformance (`type` lifted): resolved at compile
     # time against df.schema, no per-row work (SURVEY §2.4 type row)
-    from hjsonschema_spark.checks.ir import TypeIs
-
     dtypes = dict(df.dtypes)
-    type_verdicts = []
     for c in resolved:
         if isinstance(c, TypeIs):
-            actual = dtypes.get(c.column)
-            ok = actual == c.type_name
-            type_verdicts.append((C.check_id(c), ok, actual))
+            ok = dtypes.get(c.column) == c.type_name
+            schema_verdicts.append((C.check_id(c), ok, None if ok else 1))
 
     row_checks = [c for c in resolved if isinstance(c, RowCheck)]
     table_checks = [c for c in resolved if isinstance(c, TableCheck)]
@@ -304,10 +344,10 @@ def run_suite(
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
-    if type_verdicts:
+    if schema_verdicts:
         verdicts.append(
             spark.createDataFrame(
-                [("schema", None, cid, None, None if ok else 1, ok) for cid, ok, _ in type_verdicts],
+                [("schema", None, cid, None, n_bad, ok) for cid, ok, n_bad in schema_verdicts],
                 "scope string, partition_id int, check string, n_rows long, n_violations long, passed boolean",
             )
         )

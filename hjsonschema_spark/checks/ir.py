@@ -239,10 +239,14 @@ class ArraySize(RowCheck):
 @dataclass(frozen=True)
 class ArrayUnique(RowCheck):
     """uniqueItems at row scope (Array.hs:73-77): all elements of the
-    array column distinct. Spark equality is typed; for the reference's
-    mathematical cross-type equality normalize the column first."""
+    array column distinct. Spark equality is typed; set
+    numeric_canonical=True to compare after decimal canonicalization,
+    giving the reference's MATHEMATICAL equality (1 == 1.0 == 1.00,
+    Utils.hs:94-119 / the uniqueItems.json corpus case) on numeric or
+    numeric-string arrays."""
     kind: ClassVar[str] = "array_unique"
     column: str = ""
+    numeric_canonical: bool = False
 
     def validate_config(self):
         if not self.column:
@@ -261,6 +265,64 @@ class ArrayForAll(RowCheck):
     def validate_config(self):
         if not self.column or not self.element_predicate:
             raise ConfigInvalid("array_forall: column and element_predicate must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class NonNullCount(RowCheck):
+    """max/minProperties lifted to fixed-schema rows (Object.hs:34-67):
+    the number of non-null values among `columns` (the row's "present
+    properties") must lie within [min_count, max_count]."""
+    kind: ClassVar[str] = "non_null_count"
+    columns: tuple = ()
+    min_count: int | None = None
+    max_count: int | None = None
+
+    def validate_config(self):
+        if not self.columns:
+            raise ConfigInvalid("non_null_count: columns must be non-empty")
+        if self.min_count is None and self.max_count is None:
+            raise ConfigInvalid("non_null_count: at least one bound")
+
+
+@_register
+@dataclass(frozen=True)
+class MapSize(RowCheck):
+    """max/minProperties on a MapType column (Object.hs:34-67): the
+    entry count must lie within [min_props, max_props]. NULL map =>
+    vacuous pass (type-mismatch => pass, Draft4.hs:28-33)."""
+    kind: ClassVar[str] = "map_size"
+    column: str = ""
+    min_props: int | None = None
+    max_props: int | None = None
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("map_size: column must be set")
+        if self.min_props is None and self.max_props is None:
+            raise ConfigInvalid("map_size: at least one bound")
+
+
+@_register
+@dataclass(frozen=True)
+class ArrayPositional(RowCheck):
+    """items (array form) + additionalItems (Array.hs:162-167,
+    209-225): the i-th SQL predicate (over element variable `x`)
+    validates the i-th element when present — a missing element passes.
+    Elements beyond the list are governed by `additional`: 'any' (pass,
+    additionalItems=true), 'none' (fail iff any remainder exists,
+    additionalItems=false), or a SQL predicate over `x` applied to
+    every remaining element (additionalItems=schema)."""
+    kind: ClassVar[str] = "array_positional"
+    column: str = ""
+    element_predicates: tuple = ()
+    additional: str = "any"
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("array_positional: column must be set")
+        if not self.element_predicates and self.additional == "any":
+            raise ConfigInvalid("array_positional: no predicates and additional='any'")
 
 
 @_register
@@ -362,6 +424,67 @@ class Ref(RowCheck):
     def validate_config(self):
         if not self.suite:
             raise ConfigInvalid("ref: suite must be set")
+
+
+# --------------------------------------------------------------------------
+# schema-scope checks (resolved statically against df.schema — no rows)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SchemaCheck(Check):
+    """Base: checks resolved at compile time against the table's
+    schema, producing schema-scope verdicts or expanded row checks —
+    zero per-row work."""
+
+
+@_register
+@dataclass(frozen=True)
+class ColumnsAllowed(SchemaCheck):
+    """additionalProperties=false lifted to schema scope
+    (Properties.hs:175-209): every table column must be declared in
+    `columns` or matched by one of the `patterns` regexes (the
+    patternProperties remainder rule — "additional" = matched by
+    NEITHER). A non-empty remainder fails the check; this catches the
+    most common production schema regression, an undeclared column
+    appearing. Uncompilable patterns are skipped silently
+    (Properties.hs:150-155)."""
+    kind: ClassVar[str] = "columns_allowed"
+    columns: tuple = ()
+    patterns: tuple = ()
+
+    def validate_config(self):
+        if not self.columns and not self.patterns:
+            raise ConfigInvalid("columns_allowed: columns or patterns must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class PatternColumns(SchemaCheck):
+    """patternProperties lifted to compile time (Properties.hs:119-172):
+    the row-check template `check` is instantiated once per table
+    column whose NAME matches `name_regex` (regex applied to column
+    names, not data). An uncompilable regex is skipped silently,
+    mirroring the reference (contrast `pattern` on data, which
+    fails)."""
+    kind: ClassVar[str] = "pattern_columns"
+    name_regex: str = ""
+    check: Check | None = None
+
+    def validate_config(self):
+        # children() deliberately returns (): the template's `column`
+        # is empty until expansion, so it is validated here with a
+        # placeholder instead of by the generic suite walk
+        if not self.name_regex or self.check is None:
+            raise ConfigInvalid("pattern_columns: name_regex and check must be set")
+        if not isinstance(self.check, RowCheck) or "column" not in {
+            f.name for f in fields(type(self.check))
+        }:
+            raise ConfigInvalid(
+                "pattern_columns: check must be a row check with a `column` field"
+            )
+        import dataclasses
+
+        dataclasses.replace(self.check, column="_template_").validate_config()
 
 
 # --------------------------------------------------------------------------
@@ -536,3 +659,75 @@ class SuiteRegistry:
             inner = self.resolve(c.check.suite, visiting)
             return [Not(check=AllOf(checks=inner))]
         return [c]
+
+    @staticmethod
+    def _ref_targets(suite: "CheckSuite") -> set[str]:
+        out: set[str] = set()
+
+        def walk(c: Check):
+            if isinstance(c, Ref):
+                out.add(c.suite)
+            for ch in c.children():
+                walk(ch)
+
+        for c in suite.checks:
+            walk(c)
+        return out
+
+    @classmethod
+    def from_files(cls, root_path: str) -> "SuiteRegistry":
+        """Recursive-ref discovery to fixpoint — the
+        referencesViaFilesystem analogue (Fetch.hs:119-158 /
+        Draft4.hs:126-129): load the root suite JSON, walk every Ref
+        edge, fetch `<suite-name>.json` from the SAME directory for
+        each not-yet-loaded target, repeat until no new refs appear.
+        A missing or unparsable file raises ConfigInvalid (the
+        FSReadFailure analogue, test/Local/Validation.hs:33-58); a ref
+        cycle is surfaced by the final resolve()."""
+        import os
+
+        base = os.path.dirname(os.path.abspath(root_path))
+        reg = cls()
+        root = cls._load_suite_file(root_path)
+        reg.add(root)
+        pending = cls._ref_targets(root) - set(reg.suites)
+        while pending:
+            name = pending.pop()
+            s = cls._load_suite_file(os.path.join(base, f"{name}.json"))
+            if s.name != name:
+                raise ConfigInvalid(
+                    f"suite file {name}.json declares name {s.name!r} (must match)"
+                )
+            reg.add(s)
+            pending |= cls._ref_targets(s) - set(reg.suites)
+        reg.resolve(root.name)  # surfaces cycles / anything unresolvable
+        return reg
+
+    @classmethod
+    def from_dir(cls, path: str) -> "SuiteRegistry":
+        """Load every *.json suite in a directory and verify the whole
+        registry resolves (unresolvable refs / cycles => ConfigInvalid)."""
+        import glob
+        import os
+
+        reg = cls()
+        files = sorted(glob.glob(os.path.join(path, "*.json")))
+        if not files:
+            raise ConfigInvalid(f"no suite files in {path!r}")
+        for f in files:
+            reg.add(cls._load_suite_file(f))
+        for name in reg.suites:
+            reg.resolve(name)
+        return reg
+
+    @staticmethod
+    def _load_suite_file(path: str) -> "CheckSuite":
+        try:
+            with open(path) as fh:
+                raw = fh.read()
+        except OSError as e:
+            raise ConfigInvalid(f"cannot read suite file {path!r}: {e}") from e
+        try:
+            return CheckSuite.from_json(raw)
+        except (json.JSONDecodeError, KeyError, TypeError) as e:
+            raise ConfigInvalid(f"bad suite file {path!r}: {e}") from e

@@ -233,6 +233,103 @@ def test_ref_resolution_and_cycles():
         reg.resolve("nope")
 
 
+def test_combinator_failure_detail(spark):
+    """Failure-tree parity (Any.hs:364-482 semantics): oneOf violations
+    distinguish NoSuccesses from TooManySuccesses with passing-branch
+    indices; allOf reports the failing branch indices."""
+    import json as J
+
+    df = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "zz")],
+        "conv_id string, turn_idx int, role string",
+    )
+    one = OneOf(
+        checks=(
+            Enum(column="role", values=("a",)),
+            Enum(column="role", values=("b",)),
+            Enum(column="role", values=("a", "b")),  # overlaps both
+        )
+    )
+    res = run_suite(df, _suite(one))
+    vals = {r["turn_idx"]: J.loads(r["value"]) for r in res.violations.collect()}
+    # 'a' and 'b' each pass two branches; 'zz' passes none
+    assert vals[0] == {"failure": "too_many_successes", "n_passed": 2, "passed_branches": [0, 2]}
+    assert vals[1] == {"failure": "too_many_successes", "n_passed": 2, "passed_branches": [1, 2]}
+    assert vals[2] == {"failure": "no_successes", "n_passed": 0, "passed_branches": []}
+
+    allof = AllOf(
+        checks=(Enum(column="role", values=("a", "b")), Enum(column="role", values=("a",)))
+    )
+    res2 = run_suite(df, _suite(allof))
+    vals2 = {r["turn_idx"]: J.loads(r["value"]) for r in res2.violations.collect()}
+    assert vals2[1] == {"failed_branches": [1]}
+    assert vals2[2] == {"failed_branches": [0, 1]}
+    assert 0 not in vals2
+
+
+def test_array_unique_mathematical_equality(spark):
+    """Corpus case "numbers are unique if mathematically unequal":
+    [1, 1.0, 1.00] is NON-unique under numeric_canonical
+    (Utils.hs:94-119), unique under plain typed equality."""
+    from hjsonschema_spark.checks import ArrayUnique
+
+    df = spark.createDataFrame(
+        [("c1", 0, ["1", "1.0", "1.00"]), ("c1", 1, ["1", "2"])],
+        "conv_id string, turn_idx int, arr array<string>",
+    )
+    plain = run_suite(df, _suite(ArrayUnique(column="arr")))
+    assert plain.violations.count() == 0  # "1" != "1.0" as strings
+    math = run_suite(df, _suite(ArrayUnique(column="arr", numeric_canonical=True)))
+    assert [r["turn_idx"] for r in math.violations.collect()] == [0]
+
+
+def test_registry_from_files_fixpoint(tmp_path):
+    """Fetch.hs:119-158 analogue: chained refs load to fixpoint;
+    missing file and cross-file cycles are ConfigInvalid
+    (test/Local/Validation.hs:33-58 semantics)."""
+    import json as J
+
+    def write(name, checks):
+        p = tmp_path / f"{name}.json"
+        p.write_text(
+            CheckSuite(name=name, key_columns=list(KEYS), checks=checks).to_json()
+        )
+        return str(p)
+
+    write("leaf", (Required(column="role"),))
+    write("mid", (Ref(suite="leaf"), Bounds(column="turn_idx", min=0)))
+    root = write("root", (Ref(suite="mid"),))
+    reg = SuiteRegistry.from_files(root)
+    assert set(reg.suites) == {"root", "mid", "leaf"}
+    assert [type(c).__name__ for c in reg.resolve("root")] == ["Required", "Bounds"]
+
+    # missing file => FSReadFailure analogue
+    dangling = write("dangling", (Ref(suite="nowhere"),))
+    with pytest.raises(ConfigInvalid, match="cannot read"):
+        SuiteRegistry.from_files(dangling)
+
+    # cross-file cycle
+    write("x", (Ref(suite="y"),))
+    write("y", (Ref(suite="x"),))
+    with pytest.raises(ConfigInvalid, match="ref loop"):
+        SuiteRegistry.from_files(str(tmp_path / "x.json"))
+
+    # unparsable file
+    (tmp_path / "broken.json").write_text("{not json")
+    with pytest.raises(ConfigInvalid, match="bad suite file"):
+        SuiteRegistry.from_files(str(tmp_path / "broken.json"))
+
+    # from_dir: loads everything, surfaces the cycle
+    with pytest.raises(ConfigInvalid):
+        SuiteRegistry.from_dir(str(tmp_path))
+    (tmp_path / "x.json").unlink()
+    (tmp_path / "y.json").unlink()
+    (tmp_path / "broken.json").unlink()
+    (tmp_path / "dangling.json").unlink()
+    reg2 = SuiteRegistry.from_dir(str(tmp_path))
+    assert set(reg2.suites) == {"root", "mid", "leaf"}
+
+
 def test_config_self_validation():
     with pytest.raises(ConfigInvalid):
         _suite(Bounds(column="x")).validate_config()  # no min or max
