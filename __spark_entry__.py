@@ -21,6 +21,7 @@ from hjsonschema_spark.checks import (
     CheckSuite,
     ColumnsAllowed,
     Contiguous,
+    DependentSchema,
     Enum,
     Length,
     MultipleOf,
@@ -317,6 +318,47 @@ def _array_positional_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations.select("l_orderkey", "l_linenumber", "check", "value")
 
 
+def _dependent_schema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-form dependency (Object.hs:160-183) as first-class IR:
+    when `opt_props` is present the whole row must satisfy value<=300
+    AND event_type in the strict vocabulary; absent => vacuous pass.
+    The violation payload carries the failing-branch indices."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "opt_props", F.when(F.col("value") > 0.5, F.col("props"))
+    )
+    suite = CheckSuite(
+        name="events_dependent",
+        key_columns=("event_id",),
+        checks=(
+            DependentSchema(
+                when_column="opt_props",
+                checks=(
+                    Bounds(column="value", max=300.0),
+                    Enum(column="event_type", values=EVENT_VOCAB),
+                ),
+            ),
+        ),
+    )
+    res = run_suite(ev, suite)
+    return res.violations.select(
+        "event_id", F.col("check").alias("check_name"), F.col("value").alias("detail")
+    )
+
+
+def _set_diff_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (SURVEY §2.7): symmetric vocabulary diff via exceptAll
+    over pre-distincted sides — the partial-agg distinct shrinks each
+    side to O(#categories) before the set-op shuffle, so the exchange
+    is tiny at any table scale."""
+    ev = _t(spark, sf_dir, "events").select("event_type").na.drop().distinct()
+    vocab = spark.createDataFrame(
+        [(v,) for v in EVENT_VOCAB + ("refund",)], "event_type string"
+    )
+    extra = ev.exceptAll(vocab).withColumn("direction", F.lit("data_not_in_vocab"))
+    missing = vocab.exceptAll(ev).withColumn("direction", F.lit("vocab_not_in_data"))
+    return extra.unionByName(missing)
+
+
 def _topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 2 highest-value orders per customer (sorts/limits
     coverage, SURVEY §2.7)."""
@@ -378,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_value": _ks_value,
         "schema_conformance_lineitem": _schema_conformance_lineitem,
         "non_null_count_events": _non_null_count_events,
+        "dependent_schema_events": _dependent_schema_events,
+        "set_diff_event_types": _set_diff_event_types,
         "array_positional_lineitem": _array_positional_lineitem,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "revenue_per_nation": _revenue_per_nation,
@@ -644,6 +688,34 @@ FROM lineitem WHERE ({nn11}) < 11
     sql["non_null_count_events"] = (
         f"SELECT event_id, ({nn6})::VARCHAR AS n_present FROM events WHERE ({nn6}) < 6"
     )
+
+    dep_check = "dependent_schema:opt_props(bounds:value,enum:event_type)"
+    vocab_in = ", ".join(f"'{v}'" for v in EVENT_VOCAB)
+    sql["dependent_schema_events"] = f"""
+SELECT event_id, '{dep_check}' AS check_name,
+       '{{"failed_branches":[' ||
+       CASE WHEN NOT (value <= 300) AND event_type NOT IN ({vocab_in}) THEN '0,1'
+            WHEN NOT (value <= 300) THEN '0'
+            ELSE '1' END || ']}}' AS detail
+FROM events
+WHERE value > 0.5
+  AND (NOT (value <= 300) OR event_type NOT IN ({vocab_in}))
+"""
+
+    vocab_vals = ", ".join(f"('{v}')" for v in EVENT_VOCAB + ("refund",))
+    sql["set_diff_event_types"] = f"""
+SELECT event_type, 'data_not_in_vocab' AS direction FROM (
+  SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+  EXCEPT
+  SELECT * FROM (VALUES {vocab_vals}) v(event_type)
+)
+UNION ALL
+SELECT event_type, 'vocab_not_in_data' AS direction FROM (
+  SELECT * FROM (VALUES {vocab_vals}) v(event_type)
+  EXCEPT
+  SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+)
+"""
 
     sql["array_positional_lineitem"] = """
 SELECT l_orderkey, l_linenumber, 'array_positional:vals' AS "check",

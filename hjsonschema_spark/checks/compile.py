@@ -33,6 +33,7 @@ from hjsonschema_spark.checks.ir import (
     ColumnsAllowed,
     ConfigInvalid,
     Custom,
+    DependentSchema,
     Enum,
     Length,
     MapSize,
@@ -77,6 +78,12 @@ def check_id(c: Check) -> str:
         return f"multiple_of:{c.column}"
     if isinstance(c, NotNullIf):
         return f"not_null_if:{c.column}"
+    if isinstance(c, DependentSchema):
+        return (
+            f"dependent_schema:{c.when_column}("
+            + ",".join(check_id(k) for k in c.checks)
+            + ")"
+        )
     if isinstance(c, ArraySize):
         return f"array_size:{c.column}"
     if isinstance(c, ArrayUnique):
@@ -231,6 +238,17 @@ def compile_row_predicate(c: RowCheck) -> Column:
     if isinstance(c, TypeIs):
         # resolved statically in compile_fused_pass (schema conformance)
         return F.lit(True)
+    if isinstance(c, DependentSchema):
+        # when_column absent => vacuous pass (Object.hs:160-183: the
+        # dependency only fires when key k is present); present => the
+        # whole row must satisfy every child (children carry their own
+        # NULL guards, so a NULL in a child's column still passes it)
+        conj = reduce(
+            lambda a, b: a & b, (compile_row_predicate(k) for k in c.checks)
+        )
+        return F.when(F.col(c.when_column).isNull(), F.lit(True)).otherwise(
+            F.coalesce(conj, F.lit(False))
+        )
     if isinstance(c, NotNullIf):
         cond = F.col(c.when_column).eqNullSafe(F.lit(c.equals))
         pred = F.when(cond, F.col(c.column).isNotNull()).otherwise(
@@ -282,6 +300,13 @@ def _violating_value(c: RowCheck) -> Column:
             F.transform(flags, lambda b, i: F.when(~b, i)), lambda x: x.isNotNull()
         )
         return F.to_json(F.struct(failed_idx.alias("failed_branches")))
+    if isinstance(c, DependentSchema):
+        # which child checks failed while when_column was present
+        flags = F.array(*[compile_row_predicate(k) for k in c.checks])
+        failed_idx = F.filter(
+            F.transform(flags, lambda b, i: F.when(~b, i)), lambda x: x.isNotNull()
+        )
+        return F.to_json(F.struct(failed_idx.alias("failed_branches")))
     if isinstance(c, NonNullCount):
         cnt = reduce(
             lambda a, b: a + b, (F.col(x).isNotNull().cast("int") for x in c.columns)
@@ -296,6 +321,8 @@ def _violating_value(c: RowCheck) -> Column:
 def _primary_column(c: RowCheck) -> str | None:
     if isinstance(c, NonNullCount):
         return ",".join(c.columns)
+    if isinstance(c, DependentSchema):
+        return c.when_column
     return getattr(c, "column", None) or getattr(c, "name", None)
 
 

@@ -220,6 +220,37 @@ class NotNullIf(RowCheck):
 
 @_register
 @dataclass(frozen=True)
+class DependentSchema(RowCheck):
+    """Schema-form dependency (Object.hs:160-183): when `when_column`
+    is present (non-null — the columnar analogue of "key k present"),
+    the WHOLE ROW must satisfy every child check; when absent, vacuous
+    pass. First-class IR (config-validated, stable check id) replacing
+    the raw-SQL `Custom` escape hatch for this shape. Child checks may
+    reference any column, not just `when_column` — mirroring the
+    reference validating the whole object against the subschema
+    (Object.hs:173-176)."""
+    kind: ClassVar[str] = "dependent_schema"
+    when_column: str = ""
+    checks: tuple = ()
+
+    def children(self):
+        return self.checks
+
+    def validate_config(self):
+        if not self.when_column:
+            raise ConfigInvalid("dependent_schema: when_column must be set")
+        if not self.checks:
+            raise ConfigInvalid("dependent_schema: checks must be non-empty")
+        for c in self.checks:
+            if not isinstance(c, RowCheck):
+                raise ConfigInvalid(
+                    "dependent_schema: children must be row checks, got "
+                    f"{type(c).__name__}"
+                )
+
+
+@_register
+@dataclass(frozen=True)
 class ArraySize(RowCheck):
     """maxItems/minItems on an array column (Array.hs:28-55).
     NULL array => vacuous pass."""
@@ -655,6 +686,9 @@ class SuiteRegistry:
         if isinstance(c, (AllOf, AnyOf, OneOf)):
             kids = tuple(k for ch in c.children() for k in self._resolve_check(ch, visiting))
             return [type(c)(checks=kids)]
+        if isinstance(c, DependentSchema):
+            kids = tuple(k for ch in c.checks for k in self._resolve_check(ch, visiting))
+            return [DependentSchema(when_column=c.when_column, checks=kids)]
         if isinstance(c, Not) and isinstance(c.check, Ref):
             inner = self.resolve(c.check.suite, visiting)
             return [Not(check=AllOf(checks=inner))]

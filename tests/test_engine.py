@@ -347,3 +347,51 @@ def test_pcre_mode_matches_rlike(spark, clean):
     a = [(r["conv_id"], r["turn_idx"]) for r in r1.violations.collect()]
     b = [(r["conv_id"], r["turn_idx"]) for r in r2.violations.collect()]
     assert a == b and len(a) > 0
+
+
+def test_dependent_schema(spark):
+    """Schema-form dependency (Object.hs:160-183): when the trigger
+    column is present the whole row must satisfy every child check;
+    absent => vacuous pass; a NULL in a child's own column still passes
+    that child (type-mismatch => pass). Payload carries the failing
+    branch indices."""
+    import json as J
+
+    from hjsonschema_spark.checks import DependentSchema
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, None, 999, "a"),   # trigger absent => pass
+            ("c1", 1, "on", 5, "a"),     # both children pass
+            ("c1", 2, "on", 999, "a"),   # bounds child fails
+            ("c1", 3, "on", 999, "zz"),  # both children fail
+            ("c1", 4, "on", None, "a"),  # NULL child column => child passes
+        ],
+        "conv_id string, turn_idx int, trig string, x int, role string",
+    )
+    dep = DependentSchema(
+        when_column="trig",
+        checks=(Bounds(column="x", max=100), Enum(column="role", values=("a", "b"))),
+    )
+    res = run_suite(df, _suite(dep))
+    vals = {r["turn_idx"]: J.loads(r["value"]) for r in res.violations.collect()}
+    assert set(vals) == {2, 3}
+    assert vals[2] == {"failed_branches": [0]}
+    assert vals[3] == {"failed_branches": [0, 1]}
+
+    # Ref children resolve through the registry (lateral cycle rules apply)
+    reg = SuiteRegistry().add(
+        CheckSuite(name="sub", key_columns=KEYS, checks=(Bounds(column="x", max=100),))
+    )
+    dep_ref = DependentSchema(when_column="trig", checks=(Ref(suite="sub"),))
+    res2 = run_suite(df, _suite(dep_ref), registry=reg)
+    assert sorted(r["turn_idx"] for r in res2.violations.collect()) == [2, 3]
+
+    # JSON round-trip keeps the tree
+    s = _suite(dep)
+    assert CheckSuite.from_json(s.to_json()) == s
+
+    with pytest.raises(ConfigInvalid):
+        DependentSchema(when_column="", checks=(Bounds(column="x", max=1),)).validate_config()
+    with pytest.raises(ConfigInvalid):
+        DependentSchema(when_column="trig", checks=()).validate_config()
