@@ -211,6 +211,40 @@ def _ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.ks_two_sample_df(ev, "value", "grp", buckets=1024)
 
 
+def _drift_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift as FIRST-CLASS SUITE CHECKS (north star: "KS/
+    chi-squared distribution-drift checks on turn-length and role
+    histograms" inside the validation suite): observed = odd-user
+    events validated against the even-user half (histogram reference
+    for chi², raw-value reference for KS), returning the two
+    table-scope verdict rows. Oracle: identical statistics in SQL;
+    chi²'s p>=alpha decided via the dof-indexed alpha=0.001 critical
+    value (mathematically the same test), KS p via the public
+    Kolmogorov asymptotic series."""
+    from hjsonschema_spark.checks import ChiSquareDrift, CheckSuite, KSDrift, run_suite
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.filter(F.col("user_id") % 2 != 0)
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    ref_hist = ref.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    suite = CheckSuite(
+        name="events_drift",
+        key_columns=("event_id",),
+        checks=(
+            ChiSquareDrift(column="event_type", ref_name="type_hist"),
+            KSDrift(column="value", ref_name="value_ref", buckets=1024),
+        ),
+    )
+    res = run_suite(
+        obs, suite, vocab_tables={"type_hist": ref_hist, "value_ref": ref.select("value")}
+    )
+    return (
+        res.verdicts.filter(F.col("scope") == "table")
+        .select("check", "n_rows", "passed")
+        .orderBy("check")
+    )
+
+
 # -- non-SQL-expressible ops (rows-only driver check) ------------------------
 
 def _minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +271,17 @@ def _cosine_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.cosine_topk_lsh(emb, queries, k=5, bands=4, planes_per_band=6)
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine_r"), "rank")
+
+
+def _cosine_topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantizer scale path): spherical-k-means codebook
+    on a bounded sample, one-scan expression-only corpus assignment,
+    probe-limited exact scoring. Rows-only check (k-means output is not
+    SQL-expressible); tests pin recall vs brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk_ivf(emb, queries, k=5, n_clusters=32, n_probe=8, seed=42)
     return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine_r"), "rank")
 
 
@@ -359,6 +404,29 @@ def _set_diff_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extra.unionByName(missing)
 
 
+def _dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: exact n-gram-jaccard pairs → connected
+    components (min-label propagation + pointer jumping), so transitive
+    chains (A~B, B~C) collapse into one cluster — the step between
+    pairwise similarity and an actual dedup decision. Oracle: DuckDB
+    recursive-CTE transitive closure over the identical pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_duplicate_clusters(docs, shingle_k=3, threshold=0.08)
+
+
+def _psi_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift per event_type category between
+    the two user halves (Laplace-smoothed, per-category contributions)."""
+    ev = _t(spark, sf_dir, "events").withColumn("grp", F.col("user_id") % 2 == 0)
+    return drift.psi_df(ev, "event_type", "grp")
+
+
+def _top_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: 20 most frequent tokens (count desc, token
+    asc tie-break => deterministic result set)."""
+    return text.top_tokens(_t(spark, sf_dir, "documents"), k=20)
+
+
 def _topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k: 2 highest-value orders per customer (sorts/limits
     coverage, SURVEY §2.7)."""
@@ -418,11 +486,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "chi2_event_type": _chi2_event_type,
         "ks_value": _ks_value,
+        "drift_suite_events": _drift_suite_events,
         "schema_conformance_lineitem": _schema_conformance_lineitem,
         "non_null_count_events": _non_null_count_events,
         "dependent_schema_events": _dependent_schema_events,
         "set_diff_event_types": _set_diff_event_types,
         "array_positional_lineitem": _array_positional_lineitem,
+        "dedup_clusters_documents": _dedup_clusters_documents,
+        "psi_event_type": _psi_event_type,
+        "top_tokens_documents": _top_tokens_documents,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "revenue_per_nation": _revenue_per_nation,
         "draft4_validate_events_props": _draft4_validate_events_props,
@@ -431,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _simhash_documents,
         "embedding_near_dup": _embedding_near_dup,
         "cosine_topk_lsh_embeddings": _cosine_topk_lsh_embeddings,
+        "cosine_topk_ivf_embeddings": _cosine_topk_ivf_embeddings,
     }
 
 
@@ -657,6 +730,55 @@ SELECT round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6) AS d_stat,
 FROM e
 """
 
+    # drift verdicts: chi² decided via the dof-indexed alpha=0.001
+    # critical value (equivalent to p >= alpha; quantiles are public
+    # constants), KS p via the Kolmogorov asymptotic series — both
+    # reproduce the Spark-side verdict booleans exactly
+    sql["drift_suite_events"] = """
+WITH obs AS (SELECT * FROM events WHERE user_id % 2 <> 0),
+ref AS (SELECT * FROM events WHERE user_id % 2 = 0),
+oh AS (SELECT event_type, count(*)::DOUBLE AS o FROM obs WHERE event_type IS NOT NULL GROUP BY 1),
+rh AS (SELECT event_type, count(*)::DOUBLE AS r FROM ref WHERE event_type IS NOT NULL GROUP BY 1),
+j AS (SELECT coalesce(o, 0) AS o, coalesce(r, 0) AS r FROM oh FULL JOIN rh USING (event_type)),
+tot AS (SELECT sum(o) AS no, sum(r) AS nr, count(*) AS k FROM j),
+chi AS (
+  SELECT sum(CASE WHEN r > 0 THEN pow(o - r * no / nr, 2) / (r * no / nr)
+                  WHEN o > 0 THEN 1e308 ELSE 0 END) AS stat,
+         greatest(1, max(k) - 1) AS dof, max(no) AS n_obs
+  FROM j, tot
+),
+av AS (SELECT value FROM obs WHERE value IS NOT NULL),
+bv AS (SELECT value FROM ref WHERE value IS NOT NULL),
+bnd AS (SELECT min(value) AS lo, max(value) AS hi
+        FROM (SELECT value FROM av UNION ALL SELECT value FROM bv)),
+ob AS (SELECT least(1023, floor((value - lo) / ((hi - lo) / 1024.0)))::INT AS bkt,
+              count(*) AS na FROM av, bnd GROUP BY 1),
+rb AS (SELECT least(1023, floor((value - lo) / ((hi - lo) / 1024.0)))::INT AS bkt,
+              count(*) AS nb FROM bv, bnd GROUP BY 1),
+h AS (SELECT bkt, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb FROM ob FULL JOIN rb USING (bkt)),
+cum AS (SELECT sum(na) OVER (ORDER BY bkt)::DOUBLE / sum(na) OVER () AS ca,
+               sum(nb) OVER (ORDER BY bkt)::DOUBLE / sum(nb) OVER () AS cb,
+               sum(na) OVER () AS n1, sum(nb) OVER () AS n2 FROM h),
+kst AS (SELECT max(abs(ca - cb)) AS d, max(n1) AS n1, max(n2) AS n2 FROM cum),
+lam AS (SELECT d, n1, sqrt(n1 * n2 / (n1 + n2)::DOUBLE) AS sne FROM kst),
+ksp AS (SELECT least(1.0, greatest(0.0,
+          sum(2 * pow(-1, j - 1) * exp(-2 * j * j * pow((sne + 0.12 + 0.11 / sne) * d, 2)))
+        )) AS pv, max(n1) AS n1
+        FROM lam, generate_series(1, 100) AS g(j))
+SELECT "check", n_rows, passed FROM (
+  SELECT 'chi2_drift:event_type->type_hist' AS "check", n_obs::BIGINT AS n_rows,
+         stat <= CASE dof WHEN 1 THEN 10.8276 WHEN 2 THEN 13.8155 WHEN 3 THEN 16.2662
+                 WHEN 4 THEN 18.4668 WHEN 5 THEN 20.5150 WHEN 6 THEN 22.4577
+                 WHEN 7 THEN 24.3219 WHEN 8 THEN 26.1245 WHEN 9 THEN 27.8772
+                 ELSE 29.5883 END AS passed
+  FROM chi
+  UNION ALL
+  SELECT 'ks_drift:value->value_ref' AS "check", n1::BIGINT AS n_rows,
+         pv >= 0.001 AS passed
+  FROM ksp
+) ORDER BY "check"
+"""
+
     nn11 = " + ".join(
         f"(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)"
         for c in _LINEITEM_COLS
@@ -723,6 +845,71 @@ SELECT l_orderkey, l_linenumber, 'array_positional:vals' AS "check",
            || l_tax::VARCHAR || ']' AS value
 FROM lineitem
 WHERE NOT (l_quantity >= 1) OR NOT (l_discount <= 0.06) OR NOT (l_tax <= 0.06)
+"""
+
+    # transitive closure over the SAME pair set the Spark side clusters
+    # (recursive CTE is fine here: the oracle runs at sf0.01 where the
+    # pair graph is tiny; at scale the Spark CC path is the real one)
+    sql["dedup_clusters_documents"] = f"""
+WITH RECURSIVE toks AS ({_TOKS_CTE}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                  for i in generate_series(1, len(ts) - 2)])
+              ELSE [array_to_string(ts, ' ')]
+         END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_common
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter WHERE n_common / (n_a + n_b - n_common) >= 0.08
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_id,
+       src = least(src, min(dst)) AS keep
+FROM reach GROUP BY src
+"""
+
+    sql["psi_event_type"] = """
+WITH cont AS (
+  SELECT event_type,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::DOUBLE AS o_a,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS o_b
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(o_a) AS n_a, sum(o_b) AS n_b, count(*)::DOUBLE AS k FROM cont)
+SELECT event_type,
+       round((o_a + 0.5) / (n_a + 0.5 * k), 6) AS p_a,
+       round((o_b + 0.5) / (n_b + 0.5 * k), 6) AS p_b,
+       round(((o_a + 0.5) / (n_a + 0.5 * k) - (o_b + 0.5) / (n_b + 0.5 * k))
+             * ln(((o_a + 0.5) / (n_a + 0.5 * k)) / ((o_b + 0.5) / (n_b + 0.5 * k))), 6)
+         AS psi_contrib
+FROM cont, tot
+"""
+
+    sql["top_tokens_documents"] = f"""
+WITH toks AS ({_TOKS_CTE})
+SELECT token, count(*) AS n
+FROM (SELECT unnest(ts) AS token FROM toks)
+GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
 
     sql["topk_orders_per_customer"] = """

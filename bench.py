@@ -134,6 +134,11 @@ def run_transcripts_job(spark, df=None) -> dict:
     # (observed in event logs).
     _materialize(res.violations)
     _materialize(res.verdicts)
+    # release the run's persisted frames (slim fused pass + violations):
+    # WITHOUT this, repeated suite runs accumulate ~n_rows-sized caches,
+    # overflow the storage pool, and GC-thrash the whole JVM (observed:
+    # local[32] throughput collapsed 4.7M -> 1.0M turns/sec across runs)
+    res.unpersist()
     wall = time.perf_counter() - t0
     return {"n_turns": n_turns, "wall_sec": wall, "turns_per_sec": n_turns / wall}
 
@@ -192,12 +197,17 @@ def main_scaling() -> None:
     # child pays generation or cold-read noise
     global N_CONVS
     N_CONVS = int(scaling_convs)
-    from hjsonschema_spark.session import get_spark
-
-    gen_spark = get_spark(app_name="bench-scaling-gen", cores=32)
-    gen_spark.sparkContext.setLogLevel("ERROR")
-    _ensure_transcripts(gen_spark)
-    gen_spark.stop()
+    # Generation runs in its OWN subprocess: SparkSession.stop() does
+    # not exit the py4j JVM, and a lingering ~36g gen heap starves the
+    # measurement children's cache (observed: local[32] evicts and goes
+    # disk-bound, efficiency collapses to 0.24). A subprocess guarantees
+    # the gen JVM is dead before the first measurement starts.
+    if not os.path.exists(os.path.join(_transcripts_path(), "_SUCCESS")):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CONVS=scaling_convs)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-only"],
+            env=env, check=True, timeout=3600,
+        )
     results = {}
     for cpus in (8, 32):
         env = dict(
@@ -241,10 +251,21 @@ shuffle.partitions = 2x cores, parquet input {N_PARTS} partitions.
     print(json.dumps({"tps_8": tps8, "tps_32": tps32, "efficiency": round(eff, 3)}))
 
 
+def main_gen_only() -> None:
+    from hjsonschema_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-scaling-gen", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    _ensure_transcripts(spark)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--transcripts-only" in sys.argv:
         main_transcripts_only()
+    elif "--gen-only" in sys.argv:
+        main_gen_only()
     else:
         main_default()

@@ -30,11 +30,13 @@ from hjsonschema_spark.checks.ir import (
     ArrayUnique,
     Bounds,
     Check,
+    ChiSquareDrift,
     ColumnsAllowed,
     ConfigInvalid,
     Custom,
     DependentSchema,
     Enum,
+    KSDrift,
     Length,
     MapSize,
     Monotonic,
@@ -122,6 +124,10 @@ def check_id(c: Check) -> str:
         return f"monotonic:{c.column}"
     if isinstance(c, NullRateMax):
         return f"null_rate_max:{c.column}"
+    if isinstance(c, ChiSquareDrift):
+        return f"chi2_drift:{c.column}->{c.ref_name}"
+    if isinstance(c, KSDrift):
+        return f"ks_drift:{c.column}->{c.ref_name}"
     raise ConfigInvalid(f"no id for {type(c).__name__}")
 
 
@@ -566,4 +572,148 @@ def run_null_rates(df: DataFrame, checks: list[NullRateMax]) -> DataFrame:
         F.lit(None).cast("long").alias("n_rows"),
         F.lit(None).cast("long").alias("n_violations"),
         F.col("s.ok").alias("passed"),
+    )
+
+_VERDICT_SELECT_DOC = None  # (verdict schema documented in engine.ValidationResult)
+
+
+def _one_row_pvalue_udf(fn):
+    """Wrap a scalar p-value function (from operators.drift — standard
+    public formulas) as an Arrow-batched pandas UDF. It is only ever
+    applied to a ONE-row frame (the reduced drift statistic), so the
+    Python cost is a constant, not a per-row path."""
+    import pandas as _pd
+
+    @F.pandas_udf("double")
+    def _udf(*cols: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*cols):
+            out.append(fn(*vals))
+        return _pd.Series(out, dtype="float64")
+
+    return _udf
+
+
+def run_chi2_drift(df: DataFrame, c: ChiSquareDrift, ref: DataFrame) -> DataFrame:
+    """Chi² drift → ONE table-scope verdict row, fully lazy.
+
+    Plan: groupBy histogram of the observed column (partial+final agg —
+    the only pass over the big table), full outer join against the
+    reference histogram (O(#categories) rows), window totals + one agg
+    to the (stat, dof, n) triple, Arrow-UDF p-value on that single row.
+    Semantics match operators.drift.chi_squared_drift: expected counts
+    scaled to the observed total; observed-only category ⇒ stat=+inf ⇒
+    p=0; empty observed or reference side ⇒ vacuous pass."""
+    from pyspark.sql import Window
+
+    from hjsonschema_spark.operators.drift import chi2_sf
+
+    col = c.column
+    obs = df.na.drop(subset=[col]).groupBy(col).agg(F.count(F.lit(1)).alias("_o"))
+    refh = ref.na.drop(subset=[col]).groupBy(col).agg(F.sum("n").alias("_r"))
+    joined = obs.join(refh, on=col, how="full").select(
+        F.coalesce(F.col("_o"), F.lit(0)).cast("double").alias("o"),
+        F.coalesce(F.col("_r"), F.lit(0)).cast("double").alias("r"),
+    )
+    w = Window.partitionBy()  # O(#categories) rows — safe unpartitioned
+    t = joined.withColumn("_no", F.sum("o").over(w)).withColumn("_nr", F.sum("r").over(w))
+    # try_divide: empty reference => NULL expected => vacuous (ANSI-safe)
+    e = F.try_divide(F.col("r") * F.col("_no"), F.col("_nr"))
+    term = F.when(e > 0, F.try_divide(F.pow(F.col("o") - e, F.lit(2)), e)).otherwise(
+        F.when(F.col("o") > 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
+    )
+    one = t.agg(
+        F.sum(term).alias("_stat"),
+        F.greatest(F.lit(1), F.count(F.lit(1)) - 1).cast("int").alias("_dof"),
+        F.coalesce(F.max("_no"), F.lit(0.0)).alias("_n_obs"),
+        F.coalesce(F.max("_nr"), F.lit(0.0)).alias("_n_ref"),
+    )
+
+    import math
+
+    def _p(stat, dof, n_obs, n_ref) -> float:
+        if not n_obs or not n_ref or stat is None:
+            return 1.0  # vacuous: nothing to compare
+        if math.isinf(stat) or math.isnan(stat):
+            return 0.0
+        return chi2_sf(float(stat), int(dof))
+
+    p = _one_row_pvalue_udf(_p)(F.col("_stat"), F.col("_dof"), F.col("_n_obs"), F.col("_n_ref"))
+    return one.select(
+        F.lit("table").alias("scope"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(check_id(c)).alias("check"),
+        F.col("_n_obs").cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_violations"),
+        (p >= F.lit(float(c.alpha))).alias("passed"),
+    )
+
+
+def run_ks_drift(df: DataFrame, c: KSDrift, ref: DataFrame) -> DataFrame:
+    """Two-sample KS drift → ONE table-scope verdict row, fully lazy.
+
+    Plan: shared [lo, hi] from a lazy 1-row bounds agg (broadcast into
+    both sides), one width-bucketed groupBy per side (the ONLY passes
+    over the data; partial+final agg, spill-safe), cumulative-sum
+    windows over O(buckets) rows for the ECDF gap D, Arrow-UDF
+    asymptotic p-value on the single resulting row. Matches
+    operators.drift.ks_two_sample (same bucketed-D estimator); empty
+    side or degenerate range ⇒ vacuous pass."""
+    from pyspark.sql import Window
+
+    from hjsonschema_spark.operators.drift import ks_sf
+
+    col = c.column
+    a = df.na.drop(subset=[col]).select(F.col(col).cast("double").alias("x"))
+    b = ref.na.drop(subset=[col]).select(F.col(col).cast("double").alias("x"))
+    bounds = a.unionByName(b).agg(F.min("x").alias("_lo"), F.max("x").alias("_hi"))
+
+    nb = int(c.buckets)
+
+    def bucketed(side: DataFrame, tag: str) -> DataFrame:
+        t = side.crossJoin(F.broadcast(bounds))
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nb))
+        # try_divide: degenerate range (hi == lo) => NULL => bucket 0
+        bkt = F.coalesce(
+            F.least(F.lit(nb - 1), F.floor(F.try_divide(F.col("x") - F.col("_lo"), width)).cast("int")),
+            F.lit(0),
+        )
+        return t.groupBy(bkt.alias("_b")).agg(F.count(F.lit(1)).alias(tag))
+
+    hist = (
+        bucketed(a, "_na")
+        .join(bucketed(b, "_nb"), "_b", "full")
+        .select(
+            "_b",
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
+        )
+    )
+    w_cum = Window.partitionBy().orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        F.try_divide(F.sum("_na").over(w_cum), F.sum("_na").over(w_all)).alias("_ca"),
+        F.try_divide(F.sum("_nb").over(w_cum), F.sum("_nb").over(w_all)).alias("_cb"),
+        F.sum("_na").over(w_all).alias("_n1"),
+        F.sum("_nb").over(w_all).alias("_n2"),
+    )
+    one = cum.agg(
+        F.max(F.abs(F.col("_ca") - F.col("_cb"))).alias("_d"),
+        F.coalesce(F.max("_n1"), F.lit(0)).alias("_n1"),
+        F.coalesce(F.max("_n2"), F.lit(0)).alias("_n2"),
+    )
+
+    def _p(d, n1, n2) -> float:
+        if d is None or not n1 or not n2:
+            return 1.0  # vacuous
+        return ks_sf(float(d), int(n1), int(n2))
+
+    p = _one_row_pvalue_udf(_p)(F.col("_d"), F.col("_n1"), F.col("_n2"))
+    return one.select(
+        F.lit("table").alias("scope"),
+        F.lit(None).cast("int").alias("partition_id"),
+        F.lit(check_id(c)).alias("check"),
+        F.col("_n1").cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_violations"),
+        (p >= F.lit(float(c.alpha))).alias("passed"),
     )

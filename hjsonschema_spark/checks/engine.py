@@ -276,8 +276,25 @@ def run_suite(
     slim = _slim_pass(checked, keys)
     persisted: list[DataFrame] = []
     if persist:
-        slim = slim.persist()
-        persisted.append(slim)
+        # Storage level is tunable because the slim frame is large (one
+        # row per input row): in-heap caching of ~10^8 rows competes
+        # with 32 concurrent task buffers for the unified memory pool
+        # and can degrade the whole job via GC/eviction. "disk" keeps
+        # the bytes off-heap (RAM-speed when spark.local.dir is tmpfs);
+        # "off" skips the cache — re-running the codegen'd row pass per
+        # consumer can be cheaper than caching when the input itself is
+        # memory-resident.
+        import os as _os
+
+        from pyspark import StorageLevel
+
+        mode = _os.environ.get("SPARK_GRAFT_SLIM_PERSIST", "memory")
+        if mode == "disk":
+            slim = slim.persist(StorageLevel.DISK_ONLY)
+            persisted.append(slim)
+        elif mode != "off":
+            slim = slim.persist()
+            persisted.append(slim)
     viols = [_row_violations(slim, keys)]
     verdicts = [_partition_verdicts(slim)]
 
@@ -287,6 +304,20 @@ def run_suite(
     table_checks = [c for c in table_checks if not isinstance(c, NullRateMax)]
     if nullrate_checks:
         verdicts.append(C.run_null_rates(df, nullrate_checks))
+
+    # distribution-drift checks (north star: chi² on role histograms,
+    # KS on turn-length) produce table-scope verdict rows, not
+    # violation rows — fully lazy plans, reference side from vocab_tables
+    from hjsonschema_spark.checks.ir import ChiSquareDrift, KSDrift
+
+    drift_checks = [c for c in table_checks if isinstance(c, (ChiSquareDrift, KSDrift))]
+    table_checks = [c for c in table_checks if not isinstance(c, (ChiSquareDrift, KSDrift))]
+    for c in drift_checks:
+        ref = (vocab_tables or {}).get(c.ref_name)
+        if ref is None:
+            raise ConfigInvalid(f"{type(c).__name__}: no vocab table named {c.ref_name!r}")
+        runner = C.run_chi2_drift if isinstance(c, ChiSquareDrift) else C.run_ks_drift
+        verdicts.append(runner(df, c, ref))
 
     # every violation-producing check gets a check-scope verdict row,
     # passed=True when it found nothing (resolved before fusion so

@@ -603,6 +603,57 @@ class NullRateMax(TableCheck):
             raise ConfigInvalid("null_rate_max: max_rate must be in [0,1]")
 
 
+@_register
+@dataclass(frozen=True)
+class ChiSquareDrift(TableCheck):
+    """Pearson chi² drift of `column`'s categorical histogram against a
+    reference histogram supplied as vocab table `ref_name` with columns
+    (`column`, n). North-star coverage: "chi-squared distribution-drift
+    checks on role histograms" as a first-class suite check (one
+    table-scope verdict row; passed = p_value >= alpha). Compiles to a
+    single distributed groupBy + an O(#categories) join — the p-value
+    is an Arrow UDF over the ONE resulting row. A reference category
+    absent from the observed side contributes its expected count; an
+    observed category absent from the reference drives the statistic to
+    +inf (p=0), matching operators.drift.chi_squared_drift."""
+    kind: ClassVar[str] = "chi2_drift"
+    column: str = ""
+    ref_name: str = ""
+    alpha: float = 0.001
+
+    def validate_config(self):
+        if not self.column or not self.ref_name:
+            raise ConfigInvalid("chi2_drift: column and ref_name must be set")
+        if not (0.0 < self.alpha < 1.0):
+            raise ConfigInvalid("chi2_drift: alpha must be in (0,1)")
+
+
+@_register
+@dataclass(frozen=True)
+class KSDrift(TableCheck):
+    """Two-sample Kolmogorov–Smirnov drift of numeric `column` against
+    reference values in vocab table `ref_name` (same-named column).
+    North-star coverage: "KS drift checks on turn-length" as a
+    first-class suite check. Compiles to one width-bucketed groupBy per
+    side (shared [lo,hi] from a lazy 1-row bounds agg), cumulative-sum
+    windows over O(buckets) rows, and an Arrow-UDF p-value on the ONE
+    resulting row — no sample ever reaches the driver. The bucketed D
+    underestimates exact D by at most one bucket's mass."""
+    kind: ClassVar[str] = "ks_drift"
+    column: str = ""
+    ref_name: str = ""
+    alpha: float = 0.001
+    buckets: int = 1024
+
+    def validate_config(self):
+        if not self.column or not self.ref_name:
+            raise ConfigInvalid("ks_drift: column and ref_name must be set")
+        if not (0.0 < self.alpha < 1.0):
+            raise ConfigInvalid("ks_drift: alpha must be in (0,1)")
+        if self.buckets < 2:
+            raise ConfigInvalid("ks_drift: buckets must be >= 2")
+
+
 # --------------------------------------------------------------------------
 # suite + registry
 # --------------------------------------------------------------------------

@@ -240,6 +240,95 @@ def simhash_near_duplicates(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster assignment over an undirected candidate-pair edge list:
+    (node, cluster_id) where cluster_id = the minimum node id reachable
+    from the node. The missing piece between pairwise near-dup detection
+    and actual dedup decisions — transitive chains (A~B, B~C) must land
+    in ONE cluster even when A and C never paired directly.
+
+    Algorithm: min-label propagation accelerated with pointer jumping
+    (each round every node takes the min of its neighbours' labels AND
+    its label's label), the standard O(log d)-round MapReduce/Pregel CC
+    scheme (cf. Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public literature). Each round is two shuffles
+    on the (tiny, pairs-only) node set — the corpus itself is never
+    touched. ``localCheckpoint`` truncates the growing lineage so plan
+    compilation stays O(1) per round; the per-round convergence count
+    is one action over #nodes-in-pairs rows, not the corpus.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr"))
+            .withColumnRenamed("src", "node")
+        )
+        hop = labels.join(nbr_min, "node", "left").select(
+            "node", F.least("label", F.coalesce("_nbr", "label")).alias("label")
+        )
+        # pointer jump: label <- label(label) — collapses chains
+        # exponentially instead of one hop per round
+        jumped = (
+            hop.join(
+                hop.select(F.col("node").alias("label"), F.col("label").alias("_ll")),
+                "label",
+                "left",
+            )
+            .select("node", F.least("label", F.coalesce("_ll", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("label", "_old"), "node")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end near-dup clustering: pair detection (exact n-gram
+    jaccard by default; pass ``pairs`` to use the MinHash-LSH candidates
+    at scale) → connected components → (doc_id, cluster_id, keep) with
+    keep = the cluster's min-id representative."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, text_col, id_col, shingle_k, threshold)
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias(id_col),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str = "vec_id",

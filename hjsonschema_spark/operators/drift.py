@@ -179,6 +179,41 @@ def chi2_two_sample_df(df: DataFrame, col: str, group_col: str) -> DataFrame:
     )
 
 
+def psi_df(df: DataFrame, col: str, group_col: str, smoothing: float = 0.5) -> DataFrame:
+    """Population Stability Index per category between the two groups
+    named by boolean `group_col`: contrib = (p_a - p_b) * ln(p_a / p_b)
+    with additive (Laplace) smoothing so empty cells stay finite —
+    the standard scorecard-monitoring drift metric (public formula).
+
+    One distributed groupBy builds the contingency table; totals via
+    unpartitioned window sums over O(#categories) rows. PSI's category
+    decomposition is what operators act on (which segment drifted), so
+    the per-category rows are returned rather than only the sum."""
+    from pyspark.sql import Window
+
+    k = F.count(F.lit(1)).over(Window.partitionBy())
+    cont = df.groupBy(col).agg(
+        F.sum(F.col(group_col).cast("long")).alias("o_a"),
+        F.sum((~F.col(group_col)).cast("long")).alias("o_b"),
+    )
+    w = Window.partitionBy()
+    cont = (
+        cont.withColumn("n_a", F.sum("o_a").over(w))
+        .withColumn("n_b", F.sum("o_b").over(w))
+        .withColumn("k", k)
+    )
+    s = F.lit(float(smoothing))
+    p_a = (F.col("o_a") + s) / (F.col("n_a") + s * F.col("k"))
+    p_b = (F.col("o_b") + s) / (F.col("n_b") + s * F.col("k"))
+    contrib = (p_a - p_b) * F.log(p_a / p_b)
+    return cont.select(
+        col,
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(contrib, 6).alias("psi_contrib"),
+    )
+
+
 def ks_two_sample_df(df: DataFrame, col: str, group_col: str, buckets: int = 1024) -> DataFrame:
     """Bucketed-ECDF KS statistic between the two groups named by
     boolean `group_col`. One row: (d_stat, n_a, n_b). Bucket counts are

@@ -84,6 +84,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level heavy hitters: the k most frequent tokens with
+    counts. Deterministic total order (count desc, token asc) so the
+    result SET is stable under ties.
+
+    Scale shape: explode → hash-agg with map-side partial combine (the
+    shuffle carries one row per DISTINCT token per task, not per
+    occurrence), then a global top-k — Spark executes orderBy().limit(k)
+    as TakeOrderedAndProject (per-partition heaps + driver merge of
+    k-row heads), never a full sort of the token dictionary."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+
+
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(
         F.col(id_col),

@@ -395,3 +395,68 @@ def test_dependent_schema(spark):
         DependentSchema(when_column="", checks=(Bounds(column="x", max=1),)).validate_config()
     with pytest.raises(ConfigInvalid):
         DependentSchema(when_column="trig", checks=()).validate_config()
+
+
+def test_chi2_drift_check(spark):
+    # observed histogram wildly different from reference => drifted;
+    # reference-proportional histogram => passes
+    from hjsonschema_spark.checks import ChiSquareDrift
+
+    rows = [("u%d" % i, 0, "user") for i in range(900)] + [
+        ("a%d" % i, 0, "assistant") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    ref_same = spark.createDataFrame([("user", 90), ("assistant", 10)], "role string, n long")
+    ref_diff = spark.createDataFrame([("user", 10), ("assistant", 90)], "role string, n long")
+    s = _suite(ChiSquareDrift(column="role", ref_name="role_hist"))
+    ok = run_suite(df, s, vocab_tables={"role_hist": ref_same})
+    bad = run_suite(df, s, vocab_tables={"role_hist": ref_diff})
+    vid = "chi2_drift:role->role_hist"
+    ok_row = ok.verdicts.filter(F.col("check") == vid).collect()[0]
+    bad_row = bad.verdicts.filter(F.col("check") == vid).collect()[0]
+    assert ok_row["passed"] is True and ok_row["scope"] == "table"
+    assert ok_row["n_rows"] == 1000
+    assert bad_row["passed"] is False
+    assert ok.passed() and not bad.passed()
+    # observed-only category => stat inf => p=0 => drifted
+    ref_missing = spark.createDataFrame([("user", 100)], "role string, n long")
+    miss = run_suite(df, s, vocab_tables={"role_hist": ref_missing})
+    assert miss.verdicts.filter(F.col("check") == vid).collect()[0]["passed"] is False
+    # agreement with the standalone operator on the same data
+    from hjsonschema_spark.operators.drift import chi_squared_drift
+
+    op = chi_squared_drift(df, "role", {"user": 90, "assistant": 10})
+    assert op["drifted"] is False
+
+
+def test_ks_drift_check(spark):
+    from hjsonschema_spark.checks import KSDrift
+
+    obs = spark.createDataFrame(
+        [("c", i, float(i % 100)) for i in range(2000)],
+        "conv_id string, turn_idx int, v double",
+    )
+    ref_same = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    ref_shift = spark.createDataFrame([(float(i % 100) + 60.0,) for i in range(1000)], "v double")
+    s = _suite(KSDrift(column="v", ref_name="len_ref", buckets=256))
+    vid = "ks_drift:v->len_ref"
+    ok = run_suite(obs, s, vocab_tables={"len_ref": ref_same})
+    bad = run_suite(obs, s, vocab_tables={"len_ref": ref_shift})
+    assert ok.verdicts.filter(F.col("check") == vid).collect()[0]["passed"] is True
+    assert bad.verdicts.filter(F.col("check") == vid).collect()[0]["passed"] is False
+    # empty reference => vacuous pass
+    empty = spark.createDataFrame([], "v double")
+    vac = run_suite(obs, s, vocab_tables={"len_ref": empty})
+    assert vac.verdicts.filter(F.col("check") == vid).collect()[0]["passed"] is True
+
+
+def test_drift_check_config_and_missing_vocab(spark):
+    from hjsonschema_spark.checks import ChiSquareDrift, KSDrift
+
+    with pytest.raises(ConfigInvalid):
+        _suite(ChiSquareDrift(column="role", ref_name="")).validate_config()
+    with pytest.raises(ConfigInvalid):
+        _suite(KSDrift(column="v", ref_name="r", alpha=1.5)).validate_config()
+    df = spark.createDataFrame([("c", 0, "user")], "conv_id string, turn_idx int, role string")
+    with pytest.raises(ConfigInvalid, match="no vocab table"):
+        run_suite(df, _suite(ChiSquareDrift(column="role", ref_name="nope")))

@@ -243,3 +243,129 @@ def test_draft4_json_udf(spark):
     assert out[3]["_valid"] is False
     assert out[4]["_valid"] is False and out[4]["_failures_json"][0]["keyword"] == "parse"
     assert out[5]["_valid"] is None
+
+
+def test_connected_components_chains_and_islands(spark):
+    # chain 1-2-3-4-5 (transitive), island pair 10-11, isolated edge 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["node"]: r["cluster_id"] for r in dedup.connected_components(df).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_pointer_jumping(spark):
+    # a 40-node path converges well inside 25 rounds only because of
+    # pointer jumping (min-label alone needs one round per hop)
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.connected_components(df, max_iterations=8).collect()
+    assert {r["cluster_id"] for r in out} == {0}
+    assert len(out) == 41
+
+
+def test_near_duplicate_clusters(spark, docs):
+    out = {r["doc_id"]: r for r in dedup.near_duplicate_clusters(docs, threshold=0.3).collect()}
+    # 1,2,3,8 all chain together (2 and 8 are exact dups of 1; 3 is a
+    # near dup) => one cluster with min-id representative 1
+    assert set(out) == {1, 2, 3, 8}
+    assert all(r["cluster_id"] == 1 for r in out.values())
+    assert [d for d, r in out.items() if r["keep"]] == [1]
+
+
+def test_psi_drift(spark):
+    rows = (
+        [("a", True)] * 50 + [("b", True)] * 50
+        + [("a", False)] * 20 + [("b", False)] * 80
+    )
+    df = spark.createDataFrame(rows, "cat string, grp boolean")
+    out = {r["cat"]: r for r in drift.psi_df(df, "cat", "grp").collect()}
+    import math
+    k, s = 2, 0.5
+    for cat, o_a, o_b in (("a", 50, 20), ("b", 50, 80)):
+        p_a = (o_a + s) / (100 + s * k)
+        p_b = (o_b + s) / (100 + s * k)
+        assert out[cat]["p_a"] == round(p_a, 6)
+        assert out[cat]["p_b"] == round(p_b, 6)
+        assert out[cat]["psi_contrib"] == round((p_a - p_b) * math.log(p_a / p_b), 6)
+    # identical distributions => ~zero PSI
+    same = spark.createDataFrame(
+        [("a", True)] * 30 + [("a", False)] * 30, "cat string, grp boolean"
+    )
+    z = drift.psi_df(same, "cat", "grp").collect()[0]
+    assert z["psi_contrib"] == 0.0
+
+
+def test_top_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma, ALPHA!"), (3, "gamma beta")],
+        "doc_id long, text string",
+    )
+    out = [(r["token"], r["n"]) for r in text.top_tokens(df, k=2).collect()]
+    assert out == [("alpha", 3), ("beta", 3)]  # tie broken token-asc
+    full = [(r["token"], r["n"]) for r in text.top_tokens(df, k=10).collect()]
+    assert full == [("alpha", 3), ("beta", 3), ("gamma", 2)]
+
+
+def _clustered_vecs(n_per=40, dim=16, n_clusters=4):
+    # deterministic clusters: basis direction e_c plus small rational
+    # noise on the next coordinate — clearly separated, no RNG needed
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for i in range(n_per):
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 5) % dim] = 0.05 + 0.002 * (i % 7)
+            rows.append((vid, v, c))
+            vid += 1
+    return rows
+
+
+def test_ivf_topk_recall_and_exact_at_full_probe(spark):
+    rows = _clustered_vecs()
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[::37]], "query_id long, embedding array<float>"
+    )
+    brute = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    }
+    cb = similarity.train_ivf_codebook(corpus, n_clusters=8, seed=7)
+    # full probing == exact: same candidates, same deterministic ties
+    full = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.cosine_topk_ivf(
+            corpus, queries, k=5, codebook=cb, n_probe=len(cb)
+        ).collect()
+    }
+    assert full == brute
+    # narrow probing still recalls nearly everything on separated clusters
+    probed = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.cosine_topk_ivf(
+            corpus, queries, k=5, codebook=cb, n_probe=2
+        ).collect()
+    }
+    hits = sum(1 for kk, v in brute.items() if probed.get(kk) == v)
+    assert hits / len(brute) >= 0.9
+    # codebook training is deterministic
+    assert cb == similarity.train_ivf_codebook(corpus, n_clusters=8, seed=7)
+
+
+def test_ivf_assign_covers_all_clusters(spark):
+    rows = _clustered_vecs()
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cb = similarity.train_ivf_codebook(corpus, n_clusters=8, seed=7)
+    out = similarity.ivf_assign(corpus, cb).collect()
+    assert all(r["cluster_id"] is not None and 0 <= r["cluster_id"] < len(cb) for r in out)
+    # k-means may SPLIT a label across centroids (fine: probes cover
+    # it), but each inverted list must be label-PURE — a merged list
+    # would mean a centroid sits between orthogonal label directions
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["label"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and assignment is deterministic
+    again = {r["vec_id"]: r["cluster_id"] for r in similarity.ivf_assign(corpus, cb).collect()}
+    assert again == {r["vec_id"]: r["cluster_id"] for r in out}
