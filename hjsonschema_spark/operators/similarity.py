@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,17 +104,15 @@ def cosine_topk_lsh(
 # public literature): train a small spherical-k-means codebook on a
 # BOUNDED sample (codebooks are always trained on a sample — k*dim
 # floats live on the driver, never the corpus), assign every corpus
-# vector to its nearest centroid with a pure column expression (one
-# scan, no shuffle, no UDF), then answer queries by exact-scoring only
-# the n_probe nearest inverted lists (~n_probe/n_clusters of the
-# corpus per query).
-
-
-def _unit(col):
-    from hjsonschema_spark.functions.columns import l2_norm
-
-    n = l2_norm(col)
-    return F.when(n > 0, F.transform(col, lambda x: x / n))
+# vector to its nearest centroid in one scan with no shuffle, then
+# answer queries by exact-scoring only the n_probe nearest inverted
+# lists (~n_probe/n_clusters of the corpus per query).
+#
+# Assignment/probing use an Arrow-batched pandas UDF (one numpy matmul
+# per batch), NOT SQL higher-order functions: transform/aggregate
+# lambdas run INTERPRETED in Spark (no whole-stage codegen), and k
+# interpreted dot products per row measured ~40x slower than the
+# vectorized batch matmul.
 
 
 def train_ivf_codebook(
@@ -160,33 +160,62 @@ def train_ivf_codebook(
     return [[float(v) for v in c] for c in cent]
 
 
-def _centroid_scores(vec_col, codebook) -> "F.Column":
-    """array<double> of cosine scores of `vec_col` against every
-    codebook centroid — a single codegen-able expression (centroids are
-    literals), evaluated in one pass with no shuffle."""
-    cents = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in codebook])
-    u = _unit(vec_col)
-    return F.transform(
-        cents,
-        lambda c: F.aggregate(F.zip_with(u, c, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v),
-    )
+def _batch_scores(codebook):
+    """(batch x dim) -> (batch x k) cosine scores vs the codebook as one
+    numpy matmul over unit-normalized rows. Shared by assignment (argmax)
+    and query probing (top-n argsort); NULL/zero vectors score 0."""
+    C = np.asarray(codebook, dtype=np.float64).T  # dim x k
+
+    def scores(v) -> "np.ndarray":
+        dim = C.shape[0]
+        X = np.asarray(
+            [x if x is not None and len(x) == dim else [0.0] * dim for x in v],
+            dtype=np.float64,
+        )
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        np.divide(X, norms, out=X, where=norms > 0)
+        return X @ C
+
+    return scores
+
+
+def _assign_udf(codebook):
+    from pyspark.sql.functions import pandas_udf
+
+    scores = _batch_scores(codebook)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        # np.argmax = first max = lowest centroid index on ties (same
+        # contract as array_position-of-max)
+        return pd.Series(scores(v.tolist()).argmax(axis=1).astype("int32"))
+
+    return _assign
+
+
+def _probes_udf(codebook, n_probe: int):
+    from pyspark.sql.functions import pandas_udf
+
+    scores = _batch_scores(codebook)
+
+    @pandas_udf("array<int>")
+    def _probes(v: pd.Series) -> pd.Series:
+        s = scores(v.tolist())
+        # stable argsort of -score => score desc, centroid index asc ties
+        order = np.argsort(-s, axis=1, kind="stable")[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    return _probes
 
 
 def ivf_assign(
     corpus: DataFrame, codebook, vec_col: str = "embedding"
 ) -> DataFrame:
     """Append `cluster_id` = nearest-centroid index (0-based). One scan,
-    expression-only; at scale, write the result partitioned/bucketed by
-    cluster_id so probes prune at the file level."""
-    scores = _centroid_scores(F.col(vec_col), codebook)
-    best = F.expr(
-        "array_position({0}, array_max({0})) - 1".format("_ivf_scores")
-    )
-    return (
-        corpus.withColumn("_ivf_scores", scores)
-        .withColumn("cluster_id", best.cast("int"))
-        .drop("_ivf_scores")
-    )
+    one Arrow-batched matmul per batch, no shuffle; at scale, write the
+    result partitioned/bucketed by cluster_id so probes prune at the
+    file level."""
+    return corpus.withColumn("cluster_id", _assign_udf(codebook)(F.col(vec_col)))
 
 
 def cosine_topk_ivf(
@@ -215,20 +244,11 @@ def cosine_topk_ivf(
             corpus, n_clusters, vec_col, id_col, iters=iters, seed=seed
         )
     assigned = ivf_assign(fan_out(corpus.select(id_col, vec_col)), codebook, vec_col)
-    scores = _centroid_scores(F.col(vec_col), codebook)
     n_probe = min(int(n_probe), len(codebook))
-    # n_probe nearest centroids: sort (score desc, index asc) via a
-    # struct array_sort — deterministic under score ties
-    probes = F.expr(
-        "slice(transform(array_sort(transform(sequence(0, size(_q_scores) - 1), "
-        "i -> struct(-element_at(_q_scores, i + 1) AS s, i AS idx))), p -> p.idx), "
-        f"1, {n_probe})"
-    )
     q_probed = (
         queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
-        .withColumn("_q_scores", _centroid_scores(F.col("_qvec"), codebook))
-        .select(query_id_col, "_qvec", F.explode(probes).alias("cluster_id"))
-        .withColumn("cluster_id", F.col("cluster_id").cast("int"))
+        .withColumn("_probes", _probes_udf(codebook, n_probe)(F.col("_qvec")))
+        .select(query_id_col, "_qvec", F.explode("_probes").alias("cluster_id"))
     )
     cand = assigned.join(F.broadcast(q_probed), "cluster_id")
     cos = cosine_similarity(F.col(vec_col), F.col("_qvec"))
