@@ -87,6 +87,7 @@ class CheckpointedRun:
         files_per_batch: int = 64,
         max_batches: int | None = None,
         run_id: str | None = None,
+        max_violations_per_check: int | None = None,
     ) -> dict:
         """Validate all not-yet-checkpointed files. ``max_batches``
         lets tests simulate an interrupted run. Returns run metrics.
@@ -123,9 +124,15 @@ class CheckpointedRun:
             # row count = three consumers of one fused pass (CLAUDE.md
             # invariant: violations materialize FIRST, filling the cache)
             res = run_suite(
-                df, suite, registry=registry, vocab_tables=vocab_tables, persist=True
+                df, suite, registry=registry, vocab_tables=vocab_tables, persist=True,
+                max_violations_per_check=max_violations_per_check,
             )
-            viols = res.violations.withColumn("batch_id", F.lit(batch_id)).withColumn(
+            # with a cap, write the bounded deterministic sample per
+            # batch (a broken check at 10^12 rows would otherwise write
+            # a violations table as large as the input); exact counts
+            # still land in the checkpoint row via summary()
+            out_viols = res.violations_sample if max_violations_per_check else res.violations
+            viols = out_viols.withColumn("batch_id", F.lit(batch_id)).withColumn(
                 "run_id", F.lit(run_id)
             )
             viols.write.mode("append").parquet(self._viol_path)

@@ -44,6 +44,9 @@ class ValidationResult:
     violations: DataFrame  # key cols + (check, column, value), globally sorted
     verdicts: DataFrame  # scope, partition_id, check, n_rows, n_violations, passed
     stats: DataFrame | None = None
+    # bounded per-check sample of violations (only when run_suite was
+    # given max_violations_per_check) — counts in verdicts stay exact
+    violations_sample: DataFrame | None = None
     _summary: dict[str, Any] | None = field(default=None, repr=False)
     _persisted: tuple = field(default=(), repr=False)
 
@@ -60,10 +63,14 @@ class ValidationResult:
         )
         return bad == 0
 
-    def unpersist(self) -> None:
-        """Release frames cached by run_suite(persist=True)."""
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release frames cached by run_suite(persist=True).
+
+        blocking=True waits for the blocks to actually drop — use it
+        between back-to-back suite runs in one session, where async
+        eviction lets caches from N runs coexist and overflow the pool."""
         for d in self._persisted:
-            d.unpersist()
+            d.unpersist(blocking=blocking)
 
     def summary(self) -> dict[str, Any]:
         if self._summary is None:
@@ -117,10 +124,19 @@ def _partition_verdicts(slim: DataFrame) -> DataFrame:
     )
 
 
+_NUMERIC_PREFIXES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
 def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """One aggregation pass: per-column count / null-rate / min / max /
-    HLL distinct (approx_count_distinct = HyperLogLog++). Long format."""
+    """ONE aggregation pass (partial+final, no shuffle beyond the 1-row
+    final agg): per-column count / null-rate / min / max / HLL distinct
+    (approx_count_distinct = HyperLogLog++) and, for numeric columns,
+    p50/p95/p99 via percentile_approx (Greenwald-Khanna sketch — a
+    mergeable partial aggregate, so it scales like the other stats).
+    Long format: one row per column."""
     cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    numeric = {c for c in cols if dtypes.get(c, "").startswith(_NUMERIC_PREFIXES)}
     aggs = []
     for c in cols:
         aggs += [
@@ -130,7 +146,14 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
             F.approx_count_distinct(c).alias(f"{c}__approx_distinct"),
         ]
+        if c in numeric:
+            aggs.append(
+                F.percentile_approx(F.col(c).cast("double"), [0.5, 0.95, 0.99], 10000).alias(
+                    f"{c}__pct"
+                )
+            )
     wide = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
     struct_rows = F.array(
         *[
             F.struct(
@@ -140,6 +163,9 @@ def column_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 F.col(f"{c}__min").alias("min"),
                 F.col(f"{c}__max").alias("max"),
                 F.col(f"{c}__approx_distinct").alias("approx_distinct"),
+                (F.col(f"{c}__pct")[0] if c in numeric else null_d).alias("p50"),
+                (F.col(f"{c}__pct")[1] if c in numeric else null_d).alias("p95"),
+                (F.col(f"{c}__pct")[2] if c in numeric else null_d).alias("p99"),
             )
             for c in cols
         ]
@@ -194,6 +220,7 @@ def run_suite(
     vocab_tables: dict[str, DataFrame] | None = None,
     include_stats: bool = False,
     persist: bool = False,
+    max_violations_per_check: int | None = None,
 ) -> ValidationResult:
     """Compile + execute a suite against a DataFrame.
 
@@ -357,6 +384,40 @@ def run_suite(
     # global sort => byte-stable violation output across partition counts
     sorted_viols = all_viols.orderBy(*keys, "check")
 
+    # Bounded violation output for web-scale runs: at 10^12 rows one
+    # broken check makes the violations table as large as the input.
+    # The sample is deterministic (pure function of the data, not of
+    # partitioning) and unbiased, and it never uses a window over the
+    # full violation set (a per-check window would put one check's
+    # 10^12 rows in one reducer): rows are pre-thinned by a uniform
+    # hash threshold — keep iff pmod(xxhash64(keys, check), n_check) <
+    # budget, expected `budget` survivors per over-cap check — and only
+    # the ~budget-sized survivor set pays a row_number window for the
+    # exact cap. Exact per-check totals remain in `verdicts`.
+    sample = None
+    if max_violations_per_check is not None:
+        from pyspark.sql import Window as _W
+
+        k = int(max_violations_per_check)
+        if k <= 0:
+            raise ConfigInvalid("max_violations_per_check must be positive")
+        # oversample so P(hash thinning keeps < k of an over-cap check)
+        # is negligible (Binomial(n, budget/n) tail, budget ~ k + 4*sqrt(k))
+        budget = k + 4 * int(k**0.5) + 50
+        counts = all_viols.groupBy("check").agg(F.count(F.lit(1)).alias("_n_check"))
+        key_cols = [F.col(c) for c in keys]
+        h = F.pmod(F.xxhash64(*key_cols, F.col("check")), F.col("_n_check"))
+        pre = all_viols.join(F.broadcast(counts), "check").filter(
+            (F.col("_n_check") <= budget) | (h < F.lit(budget))
+        )
+        w = _W.partitionBy("check").orderBy(*keys, "column", "value")
+        sample = (
+            pre.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(*keys, *_VIOL_TAIL)
+            .orderBy(*keys, "check")
+        )
+
     spark = df.sparkSession
     ids_df = spark.createDataFrame([(i,) for i in viol_check_ids], "check string")
     table_verdicts = (
@@ -392,5 +453,6 @@ def run_suite(
         violations=sorted_viols,
         verdicts=all_verdicts,
         stats=column_stats(df) if include_stats else None,
+        violations_sample=sample,
         _persisted=tuple(persisted),
     )

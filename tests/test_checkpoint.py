@@ -98,3 +98,25 @@ def test_crash_between_violations_and_done_does_not_duplicate(spark, input_path,
     # the orphan rows exist on disk but are invisible to readers
     raw = spark.read.parquet(store._viol_path)
     assert raw.filter("batch_id = 'deadbeef0000'").count() > 0
+
+
+def test_capped_violation_writes(spark, input_path, tmp_path):
+    """max_violations_per_check bounds what lands in the violations
+    store per batch while checkpoint rows keep exact counts."""
+    store = CheckpointedRun(str(tmp_path / "store_cap"))
+    cap = 5
+    totals = store.run(
+        spark, input_path, SUITE, files_per_batch=100, max_violations_per_check=cap
+    )
+    written = store.violations(spark)
+    per_check = {
+        r["check"]: r["n"]
+        for r in written.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_check and all(n <= cap for n in per_check.values())
+    # exact totals in the checkpoint metrics, not the capped count
+    ck_total = (
+        store.checkpoints(spark).filter("status = 'done'").agg(F.sum("n_violations")).first()[0]
+    )
+    assert totals["n_violations"] == ck_total
+    assert ck_total > cap  # the generator injects more than cap violations

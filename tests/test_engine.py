@@ -460,3 +460,59 @@ def test_drift_check_config_and_missing_vocab(spark):
     df = spark.createDataFrame([("c", 0, "user")], "conv_id string, turn_idx int, role string")
     with pytest.raises(ConfigInvalid, match="no vocab table"):
         run_suite(df, _suite(ChiSquareDrift(column="role", ref_name="nope")))
+
+
+def test_violation_sampling_bounded_deterministic(spark):
+    """max_violations_per_check: exact cap for over-cap checks, full set
+    for under-cap checks, exact totals still in verdicts, and the sample
+    is a pure function of the data — identical bytes across partition
+    counts (the 10^12-row contract: no windows over the full violation
+    set, hash-thinning first)."""
+    rows = [(f"c{i:08d}", 0, None if i < 400 else "user", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, turn_len int")
+    s = _suite(
+        Required(column="role"),                 # 400 violations (over cap)
+        Bounds(column="turn_len", max=496),      # 3 violations (under cap)
+    )
+    k = 25
+    res = run_suite(df.repartition(3), s, max_violations_per_check=k)
+    sample = res.violations_sample.collect()
+    by_check = {}
+    for r in sample:
+        by_check.setdefault(r["check"], []).append(r)
+    req_id = next(c for c in by_check if c.startswith("required"))
+    bounds_id = next(c for c in by_check if c.startswith("bounds"))
+    assert len(by_check[req_id]) == k
+    assert len(by_check[bounds_id]) == 3
+    # exact totals remain in the check-scope verdicts
+    v = {r["check"]: r["n_violations"] for r in res.verdicts.filter(F.col("scope") == "check").collect()}
+    assert v[req_id] == 400 and v[bounds_id] == 3
+    # deterministic across partitioning
+    res2 = run_suite(df.repartition(11), s, max_violations_per_check=k)
+    assert res2.violations_sample.collect() == sample
+    # no sample requested => None
+    assert run_suite(df, s).violations_sample is None
+    with pytest.raises(ConfigInvalid):
+        run_suite(df, s, max_violations_per_check=0)
+
+
+def test_column_stats_one_pass(spark):
+    """column_stats: exact n/null-rate/min/max, HLL distinct within
+    tolerance, numeric percentile sketches populated, one row per
+    column, all from a single aggregation."""
+    from hjsonschema_spark.checks.engine import column_stats
+
+    df = spark.createDataFrame(
+        [(f"c{i:08d}", i % 100, None if i % 10 == 0 else float(i)) for i in range(1000)],
+        "conv_id string, turn_idx int, v double",
+    )
+    out = {r["column"]: r for r in column_stats(df).collect()}
+    assert set(out) == {"conv_id", "turn_idx", "v"}
+    assert out["conv_id"]["n"] == 1000 and out["conv_id"]["null_rate"] == 0.0
+    assert out["v"]["null_rate"] == pytest.approx(0.1)
+    assert out["turn_idx"]["min"] == "0"
+    assert abs(out["turn_idx"]["approx_distinct"] - 100) <= 5
+    # numeric columns get percentile sketches; strings do not
+    assert out["turn_idx"]["p50"] is not None and 40 <= out["turn_idx"]["p50"] <= 60
+    assert out["v"]["p99"] is not None and out["v"]["p99"] >= 900
+    assert out["conv_id"]["p50"] is None
