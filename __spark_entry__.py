@@ -77,6 +77,21 @@ def _suite_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _suite_violations_capped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-violation path through the driver gate: with the cap
+    above every per-check count, the deterministic sample must equal
+    the FULL violation set byte-for-byte (hash-thinning keeps all rows
+    when n_check <= budget; the window then passes them through), so
+    the full-suite oracle doubles as the sample's oracle. Over-cap
+    behavior is pinned by KATs (test_violation_sampling_*)."""
+    res = run_suite(
+        _t(spark, sf_dir, "lineitem"), _LINEITEM_SUITE, max_violations_per_check=100_000
+    )
+    return res.violations_sample.withColumnRenamed("check", "check_name").withColumnRenamed(
+        "column", "col_name"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full validation suite over sf0.001 lineitem —
     violation counts per check plus pass/fail."""
@@ -474,6 +489,7 @@ def _revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations_lineitem": _suite_violations_lineitem,
+        "suite_violations_capped_lineitem": _suite_violations_capped_lineitem,
         "ref_violations_events": _ref_violations_events,
         "stats_lineitem": _stats_lineitem,
         "enum_histogram_orders": _enum_histogram_orders,
@@ -936,4 +952,7 @@ GROUP BY n_name
         "SELECT event_id, (json_valid(props) AND json_type(props) = 'OBJECT') AS _valid "
         "FROM events"
     )
+    # the capped sample equals the full set when every check is under
+    # the cap (see _suite_violations_capped_lineitem) — same oracle
+    sql["suite_violations_capped_lineitem"] = sql["suite_violations_lineitem"]
     return sql

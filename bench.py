@@ -337,8 +337,12 @@ def _write_scaling_md() -> None:
             f"| {ctl if ctl is not None else '—'} "
             f"| {norm if norm is not None else '—'} |"
         )
-    best = max((s.get("normalized_efficiency") or 0) for s in samples) if samples else 0
     best_raw = max(s["efficiency"] for s in samples) if samples else 0
+    # report the normalized figure of the best RAW sample (a normalized
+    # value is only meaningful when its control ran cache-resident;
+    # see the 03:33 row, whose control was disk-bound after eviction)
+    best_s = max(samples, key=lambda s: s["efficiency"]) if samples else {}
+    best = best_s.get("normalized_efficiency") or 0
     md = f"""# BENCH/BASELINE — measured scaling (north rule: efficiency >= 0.8, N -> 4N)
 
 Sandbox proxy for the two-cluster-size criterion: the identical full
@@ -387,7 +391,16 @@ Reproduce: `python bench.py --scaling`
 |---|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
-**Best raw efficiency: {best_raw:.3f}; best normalized (engine/hardware-ceiling): {best:.3f}** (target >= 0.8).
+**Best raw efficiency: {best_raw:.3f} (target >= 0.8, MET when >= 0.8); its
+normalized (engine / hardware-ceiling) value: {best:.3f}** — above 1.0 means
+the engine scales better than a trivial cached scan on this box.
+
+Row annotations: the 0.112 sample is the shuffle-file-necrosis defect
+described below (kept for honesty — its control row 0.884 is what
+exonerated the hardware); the 0.709 sample's control ran AFTER the
+engine runs had evicted the input cache, so it measured the shared
+disk (~600 MB/s at any core count), not memory — controls have run
+right after warm-up since.
 
 ## Engine-side scaling properties (verified via plans + event logs)
 
