@@ -429,6 +429,30 @@ def _dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_duplicate_clusters(docs, shingle_k=3, threshold=0.08)
 
 
+def _group_verdicts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP pass/fail (the per-conversation verdict of the north
+    star, exercised per user here): derived lazily from the same slim
+    fused pass as violations — zero extra input scans. A user passes
+    iff none of their events fails any row check."""
+    from hjsonschema_spark.checks import CheckSuite, Enum, Required
+
+    suite = CheckSuite(
+        name="events_grouped",
+        key_columns=("user_id", "event_id"),
+        checks=(
+            Required(column="event_type"),
+            Enum(column="event_type", values=tuple(EVENT_VOCAB)),
+        ),
+    )
+    res = run_suite(_t(spark, sf_dir, "events"), suite)
+    return res.group_verdicts(("user_id",)).select(
+        "user_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        "passed",
+    )
+
+
 def _psi_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift per event_type category between
     the two user halves (Laplace-smoothed, per-category contributions)."""
@@ -503,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_event_type": _chi2_event_type,
         "ks_value": _ks_value,
         "drift_suite_events": _drift_suite_events,
+        "group_verdicts_events": _group_verdicts_events,
         "schema_conformance_lineitem": _schema_conformance_lineitem,
         "non_null_count_events": _non_null_count_events,
         "dependent_schema_events": _dependent_schema_events,
@@ -955,4 +980,17 @@ GROUP BY n_name
     # the capped sample equals the full set when every check is under
     # the cap (see _suite_violations_capped_lineitem) — same oracle
     sql["suite_violations_capped_lineitem"] = sql["suite_violations_lineitem"]
+
+    # a row fails iff event_type is NULL (required) or outside the
+    # vocabulary (enum; NULL => vacuous pass, subsumed by required here)
+    sql["group_verdicts_events"] = """
+SELECT user_id, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN event_type IS NULL
+                  OR event_type NOT IN ('click', 'view', 'signup', 'purchase')
+                THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+       sum(CASE WHEN event_type IS NULL
+                  OR event_type NOT IN ('click', 'view', 'signup', 'purchase')
+                THEN 1 ELSE 0 END) = 0 AS passed
+FROM events GROUP BY user_id
+"""
     return sql

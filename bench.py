@@ -253,8 +253,11 @@ def main_transcripts_only() -> None:
     # evicted, and a disk-bound control measures the shared disk — the
     # same ~600MB/s at any core count — not the memory ceiling)
     ctl = [run_control_scan(spark, df) for _ in range(3)]
-    runs = [run_transcripts_job(spark, df) for _ in range(3)]
-    out = sorted(runs, key=lambda r: r["wall_sec"])[1]  # median of 3
+    # 5 measured runs: host noise on this shared VM produces isolated
+    # 2-3x outlier runs (measured 46.8 / 92.0 / 35.8 in one child);
+    # median-of-5 tolerates two outliers where median-of-3 flips on one
+    runs = [run_transcripts_job(spark, df) for _ in range(5)]
+    out = sorted(runs, key=lambda r: r["wall_sec"])[2]  # median of 5
     out["cpus"] = CPUS
     out["runs_sec"] = [round(r["wall_sec"], 2) for r in runs]
     out["best_tps"] = round(max(r["turns_per_sec"] for r in runs), 1)

@@ -47,6 +47,29 @@ class ValidationResult:
     # bounded per-check sample of violations (only when run_suite was
     # given max_violations_per_check) — counts in verdicts stay exact
     violations_sample: DataFrame | None = None
+    _slim: DataFrame | None = field(default=None, repr=False)
+
+    def group_verdicts(self, group_columns: list[str] | tuple) -> DataFrame:
+        """Per-group row-check pass/fail (e.g. per conversation:
+        group_columns=("conv_id",)). Derives lazily from the SAME slim
+        fused pass as violations/partition verdicts — zero extra input
+        scans when run_suite(persist=True). Group columns must be a
+        subset of the suite's key_columns (the slim pass carries only
+        keys + partition id + failures). Covers row-scope checks;
+        table-scope checks aggregate above group level by design."""
+        missing = [g for g in group_columns if g not in self.suite.key_columns]
+        if missing:
+            raise ConfigInvalid(
+                f"group_verdicts: {missing} not in key_columns {self.suite.key_columns}"
+            )
+        return (
+            self._slim.groupBy(*group_columns)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.size("_failures") > 0).cast("long")).alias("n_violations"),
+            )
+            .withColumn("passed", F.col("n_violations") == 0)
+        )
     _summary: dict[str, Any] | None = field(default=None, repr=False)
     _persisted: tuple = field(default=(), repr=False)
 
@@ -454,5 +477,6 @@ def run_suite(
         verdicts=all_verdicts,
         stats=column_stats(df) if include_stats else None,
         violations_sample=sample,
+        _slim=slim,
         _persisted=tuple(persisted),
     )

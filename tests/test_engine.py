@@ -516,3 +516,19 @@ def test_column_stats_one_pass(spark):
     assert out["turn_idx"]["p50"] is not None and 40 <= out["turn_idx"]["p50"] <= 60
     assert out["v"]["p99"] is not None and out["v"]["p99"] >= 900
     assert out["conv_id"]["p50"] is None
+
+
+def test_group_verdicts_from_slim_pass(spark):
+    """group_verdicts: per-group pass/fail derived from the slim fused
+    pass (row-scope checks only), group cols restricted to key_columns."""
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, None),      # c1: one bad row
+        ("c2", 0, "user"), ("c2", 1, "assistant"),  # c2: clean
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    res = run_suite(df, _suite(Required(column="role")))
+    gv = {r["conv_id"]: r for r in res.group_verdicts(("conv_id",)).collect()}
+    assert gv["c1"]["n_rows"] == 2 and gv["c1"]["n_violations"] == 1 and not gv["c1"]["passed"]
+    assert gv["c2"]["n_violations"] == 0 and gv["c2"]["passed"]
+    with pytest.raises(ConfigInvalid, match="not in key_columns"):
+        res.group_verdicts(("role",))
