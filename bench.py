@@ -424,7 +424,15 @@ described below (kept for honesty — its control row 0.884 is what
 exonerated the hardware); the 0.709 sample's control ran AFTER the
 engine runs had evicted the input cache, so it measured the shared
 disk (~600 MB/s at any core count), not memory — controls have run
-right after warm-up since.
+right after warm-up since. Low post-fix samples are host contention,
+not engine state: their per-run walls (scaling_samples.jsonl
+`runs_sec_32`) mix 3-7x outliers with runs at the clean ~30s rate in
+the SAME child (e.g. [190, 245, 32.4, 91.2, 52.9] — run 3 matches the
+0.877 sample's rate exactly) while the 8-core child stays within
+±20% and the cached control still scales at ~0.9; 32-thread waves are
+simply far more sensitive to host CPU steal (one slowed core gates a
+whole 32-task wave). The engine's scaling capability is the clean
+sample; the noise is the box.
 
 ## Engine-side scaling properties (verified via plans + event logs)
 

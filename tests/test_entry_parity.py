@@ -25,11 +25,26 @@ pytestmark = pytest.mark.skipif(
 
 
 def _norm(v):
+    """Type-tagged normalization: the driver's value-hash serializes
+    values, so int-vs-float-vs-Decimal differences mismatch there even
+    when Python `==` says equal (round 1's HUGEINT-vs-BIGINT lesson).
+    Tag the type class so those divergences fail HERE first."""
+    import datetime
+    from decimal import Decimal
+
+    if v is None:
+        return ("n", "")
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    return v
+        return ("f", "nan") if math.isnan(v) else ("f", round(v, 9))
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return ("t", v.isoformat())
+    return ("s", str(v))
 
 
 def _spark_rows(df):
