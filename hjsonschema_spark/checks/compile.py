@@ -486,7 +486,28 @@ def run_ordered_fused(
             )
             .withColumn("_grn", F.row_number().over(w_ord))
         )
-    out: list[DataFrame] = []
+    # Assemble every fused check's violation as an element of ONE
+    # per-row array and explode — the same shape as the fused row pass.
+    # Emitting one DataFrame per check instead (pre-round-2 design)
+    # looks shared in Python but is NOT in the physical plan: Catalyst
+    # optimizes each Union branch independently (per-branch column
+    # pruning + filter pushdown), so the "shared" base duplicates into
+    # one scan + one exchange per check. A single explode subtree keeps
+    # the contract the docstring promises: one scan, one exchange.
+    # Struct fields: check, column, value, grp (group-scope row ⇒ key
+    # columns outside group_by are NULLed in the final select).
+    def _viol(cond, check, column, value, grp):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(check).alias("check"),
+                F.lit(column).cast("string").alias("column"),
+                value.cast("string").alias("value"),
+                F.lit(grp).alias("grp"),
+            ),
+        )
+
+    structs = []
     if unique is not None:
         # rows with a NULL in any unique-key column are never reported:
         # run_unique_key's equi-join back (and the SQL oracle's JOIN
@@ -494,31 +515,26 @@ def run_ordered_fused(
         non_null_key = reduce(
             lambda a, b: a & b, (F.col(c).isNotNull() for c in (*g, order_col))
         )
-        viol = base.filter((F.col("_kc") > 1) & non_null_key)
-        out.append(
-            _as_violations(
-                viol, key_columns, check_id(unique), ",".join(unique.columns), F.col("_kc")
+        structs.append(
+            _viol(
+                (F.col("_kc") > 1) & non_null_key,
+                check_id(unique),
+                ",".join(unique.columns),
+                F.col("_kc"),
+                False,
             )
         )
     if contig is not None:
-        bad = base.filter(
-            (F.col("_grn") == 1)
-            & (
-                (F.col("_mn") != contig.start)
-                | (F.col("_mx") - F.col("_mn") + 1 != F.col("_n"))
-                | (F.col("_nd") != F.col("_n"))
-            )
+        bad_grp = (F.col("_grn") == 1) & (
+            (F.col("_mn") != contig.start)
+            | (F.col("_mx") - F.col("_mn") + 1 != F.col("_n"))
+            | (F.col("_nd") != F.col("_n"))
         )
-        dtypes = dict(df.dtypes)
-        sel = [
-            (F.col(k) if k in g else F.lit(None).cast(dtypes.get(k, "string"))).alias(k)
-            for k in key_columns
-        ]
-        out.append(
-            bad.select(
-                *sel,
-                F.lit(check_id(contig)).alias("check"),
-                F.lit(contig.order_column).alias("column"),
+        structs.append(
+            _viol(
+                bad_grp,
+                check_id(contig),
+                contig.order_column,
                 F.to_json(
                     F.struct(
                         F.col("_mn").alias("_min"),
@@ -526,23 +542,45 @@ def run_ordered_fused(
                         F.col("_n").alias("_n"),
                         F.col("_nd").alias("_nd"),
                     )
-                ).alias("value"),
+                ),
+                True,
             )
         )
     for i, mc in enumerate(monos or []):
         prev = F.col(f"_prev_{i}")
         badp = F.col(mc.column) <= prev if mc.strict else F.col(mc.column) < prev
-        viol = base.filter(F.coalesce(badp, F.lit(False)))
-        out.append(
-            _as_violations(
-                viol,
-                key_columns,
+        structs.append(
+            _viol(
+                F.coalesce(badp, F.lit(False)),
                 check_id(mc),
                 mc.column,
                 F.concat_ws("<", F.col(mc.column).cast("string"), prev.cast("string")),
+                False,
             )
         )
-    return out
+    arr = F.filter(F.array(*structs), lambda s: s.isNotNull())
+    exploded = base.select(*[F.col(k) for k in dict.fromkeys([*g, *key_columns])],
+                           F.explode(arr).alias("_f"))
+    dtypes = dict(df.dtypes)
+    sel = [
+        (
+            F.col(k)
+            if k in g
+            else F.when(~F.col("_f.grp"), F.col(k))
+            .otherwise(F.lit(None))
+            .cast(dtypes.get(k, "string"))
+            .alias(k)
+        )
+        for k in key_columns
+    ]
+    return [
+        exploded.select(
+            *sel,
+            F.col("_f.check").alias("check"),
+            F.col("_f.column").alias("column"),
+            F.col("_f.value").alias("value"),
+        )
+    ]
 
 
 def run_null_rates(df: DataFrame, checks: list[NullRateMax]) -> DataFrame:
