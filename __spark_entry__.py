@@ -510,6 +510,45 @@ def _revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic split fractions shared by the split/decontamination
+# queries and their oracles (thresholds are 8-hex-char md5 prefixes;
+# equal-length lowercase hex compares lexicographically == numerically)
+_SPLIT_T1 = format(min(int(0.90 * 2**32), 2**32 - 1), "08x")  # train < t1
+_SPLIT_T2 = format(min(int(0.95 * 2**32), 2**32 - 1), "08x")  # val < t2, test >= t2
+
+
+def _split_by_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 train/val/test assignment (pipeline.split_by_hash)."""
+    from hjsonschema_spark.operators.pipeline import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_by_hash(
+        docs, id_col="doc_id", fractions={"train": 0.90, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram decontamination over the md5 split: train docs
+    sharing any 5-token shingle with a test doc (pipeline.decontaminate)."""
+    from hjsonschema_spark.operators.pipeline import decontaminate, split_by_hash
+
+    docs = split_by_hash(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        fractions={"train": 0.90, "val": 0.05, "test": 0.05},
+    )
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return decontaminate(train, test, id_col="doc_id", text_col="text", k=5)
+
+
+def _repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals (pipeline.repetition_signals)."""
+    from hjsonschema_spark.operators.pipeline import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations_lineitem": _suite_violations_lineitem,
@@ -536,6 +575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": _dedup_clusters_documents,
         "psi_event_type": _psi_event_type,
         "top_tokens_documents": _top_tokens_documents,
+        "split_by_hash_documents": _split_by_hash_documents,
+        "decontaminate_documents": _decontaminate_documents,
+        "repetition_documents": _repetition_documents,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "revenue_per_nation": _revenue_per_nation,
         "draft4_validate_events_props": _draft4_validate_events_props,
@@ -992,5 +1034,64 @@ SELECT user_id, count(*)::BIGINT AS n_rows,
                   OR event_type NOT IN ('click', 'view', 'signup', 'purchase')
                 THEN 1 ELSE 0 END) = 0 AS passed
 FROM events GROUP BY user_id
+"""
+    _split_case = f"""CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_SPLIT_T1}' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_SPLIT_T2}' THEN 'val'
+         ELSE 'test' END"""
+    sql["split_by_hash_documents"] = f"""
+SELECT doc_id, {_split_case} AS split FROM documents
+"""
+    _sh5 = " || ' ' || ".join(f"ts[i+{j}]" for j in range(5))
+    sql["decontaminate_documents"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+assigned AS (
+  SELECT t.doc_id, t.ts, {_split_case.replace("doc_id", "d.doc_id")} AS split
+  FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+),
+sh AS (
+  SELECT doc_id, split,
+         CASE WHEN len(ts) >= 5
+              THEN list_distinct([{_sh5} for i in generate_series(1, len(ts) - 4)])
+              ELSE [array_to_string(ts, ' ')]
+         END AS shingles
+  FROM assigned
+),
+tr AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+       FROM sh WHERE split = 'train'),
+te AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE split = 'test'),
+hits AS (
+  SELECT tr.doc_id, tr.n_sh, count(*)::BIGINT AS n_cont
+  FROM tr JOIN te USING (shingle) GROUP BY 1, 2
+)
+SELECT doc_id, n_cont AS n_contaminated_shingles, n_sh::BIGINT AS n_shingles,
+       round(n_cont / n_sh, 6) AS contamination_frac
+FROM hits
+"""
+    sql["repetition_documents"] = f"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+  FROM documents
+),
+line_stats AS (
+  SELECT doc_id, len(ls)::INT AS n_lines,
+         CASE WHEN len(ls) > 0
+              THEN round(1.0 - len(list_distinct(ls)) / len(ls), 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM lines
+),
+toks AS ({_TOKS_CTE}),
+bg AS (
+  SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1]
+                         for i in generate_series(1, len(ts) - 1)]) AS bigram
+  FROM toks WHERE len(ts) >= 2
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+gs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS mx FROM cnt GROUP BY 1)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+       coalesce(g.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(round(g.mx / g.n_bigrams, 6), 0.0) AS top_bigram_frac
+FROM line_stats l LEFT JOIN gs g ON l.doc_id = g.doc_id
 """
     return sql

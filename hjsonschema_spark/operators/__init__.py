@@ -1,1 +1,7 @@
-from hjsonschema_spark.operators import dedup, drift, similarity, text  # noqa: F401
+from hjsonschema_spark.operators import (  # noqa: F401
+    dedup,
+    drift,
+    pipeline,
+    similarity,
+    text,
+)

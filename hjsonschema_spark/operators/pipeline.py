@@ -1,0 +1,153 @@
+"""Training-pipeline dataset operators: deterministic splits,
+train/test decontamination, intra-document repetition signals.
+
+These extend the reference's validation vocabulary (hjsonschema is a
+document validator; see SURVEY.md §2) with the dataset-preparation
+checks a transcript/document corpus needs before training — each op is
+a pure DataFrame plan (no UDFs, no driver loops) designed for the
+100-TB shapes: split assignment is a per-row projection; contamination
+is a shingle equi-join; repetition is two hash aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic, reshuffle-stable train/val/test assignment.
+
+    Each row's bucket is the first 8 hex chars of md5(id || salt) —
+    uniform over [0, 2^32) and a pure function of the id, so the split
+    is identical across runs, partitionings, and engines (the DuckDB
+    oracle reproduces it byte-for-byte). Assignment compares hex
+    STRINGS against precomputed hex thresholds: equal-length lowercase
+    hex compares lexicographically exactly as it does numerically, so
+    no engine-specific hex->int parsing is involved.
+
+    One projection, no shuffle; `salt` re-deals the split without
+    touching the data.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if not (0.999 <= total <= 1.001):
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    cum = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        threshold = format(min(int(cum * 2**32), 2**32 - 1), "08x")
+        cond = u < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Flag training documents sharing any k-token shingle with a test
+    document — the standard n-gram-overlap decontamination used for
+    held-out benchmark hygiene.
+
+    Plan shape (scale path): both sides tokenize/shingle in their scan
+    stage (explode + window-lead, no UDF — functions.columns.
+    exploded_shingles), the test side is reduced to DISTINCT shingles
+    (a benchmark is orders of magnitude smaller than the corpus, so
+    AQE broadcasts it when it fits; no forced hint), and contamination
+    is one equi-join on the shingle followed by a groupBy(train id).
+    Returns one row per CONTAMINATED train doc:
+    (id, n_contaminated_shingles, n_shingles, contamination_frac).
+    """
+    from hjsonschema_spark.functions.columns import exploded_shingles
+
+    tr = exploded_shingles(train, id_col, text_col, k)
+    te = exploded_shingles(test, id_col, text_col, k).select("shingle").distinct()
+    hit = tr.join(te, "shingle")
+    return (
+        hit.groupBy(id_col)
+        .agg(
+            F.count_distinct("shingle").alias("n_contaminated_shingles"),
+            F.max("n_sh").alias("n_shingles"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated_shingles") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition/quality signals (the public
+    Gopher-style repetition filters, Rae et al. 2021, §A1.1):
+
+      - n_lines / dup_line_frac: fraction of newline-separated
+        non-empty lines that are duplicates of an earlier line;
+      - top_bigram_frac: fraction of all token 2-grams occupied by the
+        single most frequent 2-gram.
+
+    Line stats are a pure projection (array_distinct on the split
+    text — no shuffle). The bigram mode needs counting per (doc,
+    bigram): explode + two hash aggregations keyed by the doc id, so
+    data is shuffled once on (id, bigram) and once on id — both
+    map-side-combinable, no windows over whole docs' exploded rows.
+    """
+    from hjsonschema_spark.functions.columns import tokens
+
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+    line_stats = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("_n_distinct"),
+    ).select(
+        id_col,
+        "n_lines",
+        F.when(F.col("n_lines") > 0,
+               F.round(1.0 - F.col("_n_distinct") / F.col("n_lines"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
+    )
+
+    toks = df.select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    bigrams = (
+        toks.select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("_tok"), F.lead("_tok").over(w)).alias("bigram"),
+            F.lead("_tok").over(w).isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+    )
+    per_gram = bigrams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("_c"))
+    gram_stats = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("_n_bigrams"), F.max("_c").alias("_top")
+    ).select(
+        id_col,
+        F.col("_n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(F.col("_top") / F.col("_n_bigrams"), 6).alias("top_bigram_frac"),
+    )
+    return line_stats.join(gram_stats, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )

@@ -1,0 +1,95 @@
+"""KATs for operators/pipeline.py: deterministic splits, n-gram
+decontamination, repetition signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hjsonschema_spark.operators.pipeline import (
+    decontaminate,
+    repetition_signals,
+    split_by_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(2000).withColumnRenamed("id", "doc_id")
+
+
+def test_split_deterministic_and_partition_invariant(spark, ids):
+    a = split_by_hash(ids).select("doc_id", "split").collect()
+    b = split_by_hash(ids.repartition(17)).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_split_fractions_roughly_respected(spark, ids):
+    counts = dict(
+        (r["split"], r["count"])
+        for r in split_by_hash(ids, fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split").count().collect()
+    )
+    assert set(counts) == {"train", "val", "test"}
+    # md5 is uniform; 2000 draws keep each bucket well within 3 sigma
+    assert 1500 < counts["train"] < 1700
+    assert 130 < counts["val"] < 270
+    assert 130 < counts["test"] < 270
+
+
+def test_split_salt_redeal(spark, ids):
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(ids).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_by_hash(ids, salt="v2").collect()}
+    assert any(a[k] != b[k] for k in a)  # a re-deal moves some rows
+
+
+def test_split_bad_fractions_raise(ids):
+    with pytest.raises(ValueError):
+        split_by_hash(ids, fractions={"train": 0.5, "test": 0.2})
+
+
+def test_decontaminate_flags_shared_kgram(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated content with no overlap at all here"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "we saw the quick brown fox jumps over a fence"),
+            (101, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, test, k=5).collect()}
+    # doc 1 shares the 5-grams "the quick brown fox jumps" and
+    # "quick brown fox jumps over" with test doc 100
+    assert out[1]["n_contaminated_shingles"] == 2
+    # doc 3 has < 5 tokens => whole-string shingle, exact match with 101
+    assert out[3]["n_contaminated_shingles"] == 1
+    assert out[3]["contamination_frac"] == 1.0
+    assert 2 not in out  # no shared 5-gram
+
+
+def test_repetition_signals_known_answers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb\naa bb\ncc dd"),   # 3 lines, 1 dup; bigrams of each line
+            (2, "x y x y x y"),           # "x y" dominates the bigrams
+            (3, ""),                       # empty doc
+            (4, "word"),                   # 1 token => no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_lines"] == 3
+    assert out[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # doc 2 tokens: x y x y x y -> bigrams: "x y","y x","x y","y x","x y" (5)
+    assert out[2]["n_bigrams"] == 5
+    assert out[2]["top_bigram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert out[3]["n_lines"] == 0 and out[3]["n_bigrams"] == 0
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_bigrams"] == 0 and out[4]["top_bigram_frac"] == 0.0
