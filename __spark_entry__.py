@@ -549,6 +549,21 @@ def _repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization of the event stream per user
+    (pipeline.sessionize): one hash exchange on user_id serves the
+    lag/running-sum windows AND the (user_id, session_idx) groupBy."""
+    from hjsonschema_spark.operators.pipeline import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_minutes=30,
+        tiebreak_col="event_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations_lineitem": _suite_violations_lineitem,
@@ -578,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash_documents": _split_by_hash_documents,
         "decontaminate_documents": _decontaminate_documents,
         "repetition_documents": _repetition_documents,
+        "sessionize_events": _sessionize_events,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "revenue_per_nation": _revenue_per_nation,
         "draft4_validate_events_props": _draft4_validate_events_props,
@@ -1093,5 +1109,32 @@ SELECT l.doc_id, l.n_lines, l.dup_line_frac,
        coalesce(g.n_bigrams, 0)::BIGINT AS n_bigrams,
        coalesce(round(g.mx / g.n_bigrams, 6), 0.0) AS top_bigram_frac
 FROM line_stats l LEFT JOIN gs g ON l.doc_id = g.doc_id
+"""
+    # Spark's unix_timestamp() floors to whole seconds, so both the
+    # 30-min gap test and duration_sec count second-boundary crossings —
+    # DuckDB's date_diff('second', ...) has identical semantics
+    sql["sessionize_events"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       date_diff('second', min(ts), max(ts))::BIGINT AS duration_sec
+FROM s GROUP BY user_id, session_idx
 """
     return sql

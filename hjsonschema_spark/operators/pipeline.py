@@ -151,3 +151,64 @@ def repetition_signals(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: split each key's event timeline
+    into sessions whenever consecutive events are more than
+    ``gap_minutes`` apart.
+
+    The streaming analogue is ``session_window``; this is the batch
+    form with an exact SQL oracle. Returns one row per session:
+    (key, session_idx 0-based per key, session_start, session_end,
+    n_events, duration_sec).
+
+    Plan shape (scale audit): lag + running-sum windows partitioned by
+    key, then groupBy(key, session_idx) — HashPartitioning(key)
+    satisfies the ClusteredDistribution of the superset grouping key,
+    so the whole op is ONE hash exchange on `key` plus one sort, with
+    partial aggregation map-side. Skewed keys (one user with millions
+    of events) are the same single-key-window hazard as the engine's
+    ordered pass — AQE cannot split a window partition, so the cap is
+    per-key volume, documented like compile.py's ordered checks.
+
+    NULL semantics: rows with NULL key or ts are excluded (vacuous,
+    reference NULL rule); ordering ties broken by ``tiebreak_col``
+    (default: the timestamp alone, stable because the sum-over-flags
+    session id does not depend on intra-tie order when gaps are zero).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap_sec = F.lit(gap_minutes * 60)
+    events = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(key_col, ts_col, *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("_prev", F.lag(ts_col).over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (F.unix_timestamp(ts_col) - F.unix_timestamp("_prev") > gap_sec)
+            ).cast("long"),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+        )
+    )
+    return events.groupBy(key_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col)))
+        .cast("long")
+        .alias("duration_sec"),
+    )

@@ -93,3 +93,55 @@ def test_repetition_signals_known_answers(spark):
     assert out[3]["n_lines"] == 0 and out[3]["n_bigrams"] == 0
     assert out[3]["dup_line_frac"] == 0.0 and out[3]["top_bigram_frac"] == 0.0
     assert out[4]["n_bigrams"] == 0 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_sessionize_known_answer(spark):
+    from datetime import datetime, timedelta
+
+    from hjsonschema_spark.operators.pipeline import sessionize
+
+    t0 = datetime(2026, 1, 1)
+
+    def m(mins):
+        return t0 + timedelta(minutes=mins)
+
+    rows = [
+        # user 1: [0, 10, 20] | gap 31 min | [51, 52]
+        (1, m(0), 100), (1, m(10), 101), (1, m(20), 102),
+        (1, m(51), 103), (1, m(52), 104),
+        # user 2: single event; exactly-30-min gap does NOT split
+        (2, m(0), 200), (2, m(30), 201),
+        # NULL key / NULL ts excluded
+        (None, m(0), 300), (3, None, 301),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["session_start"], r["session_end"], r["duration_sec"]
+        )
+        for r in sessionize(
+            df, key_col="user_id", ts_col="ts", gap_minutes=30, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == {
+        (1, 0): (3, m(0), m(20), 1200),
+        (1, 1): (2, m(51), m(52), 60),
+        (2, 0): (2, m(0), m(30), 1800),
+    }
+
+
+def test_sessionize_partition_invariant(spark):
+    from hjsonschema_spark.operators.pipeline import sessionize
+
+    df = (
+        spark.range(500)
+        .select(
+            (F.col("id") % 7).alias("user_id"),
+            F.timestamp_seconds(F.lit(1700000000) + (F.col("id") * 977) % 100000).alias("ts"),
+            F.col("id").alias("event_id"),
+        )
+    )
+    a = sessionize(df, tiebreak_col="event_id").collect()
+    b = sessionize(df.repartition(13), tiebreak_col="event_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 7  # gaps actually split sessions on this data
