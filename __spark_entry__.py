@@ -549,6 +549,35 @@ def _repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def _pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction parity (operators/pii.py). The synthetic
+    corpus contains no organic PII, so deterministic PII is derived
+    from doc_id on BOTH sides (same concat in the oracle SQL): an
+    email, a URL, and an IP for every doc, an SSN for doc_id%5==0,
+    a phone for doc_id%7==0. Output hash-compares per-category counts
+    AND the md5 of the redacted bytes."""
+    from hjsonschema_spark.operators.pii import pii_signals, redact_pii
+
+    doc = F.col("doc_id").cast("string")
+    derived = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"), doc, F.lit("@example.com"),
+            F.lit(" via https://example.org/d/"), doc,
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" call +1-555-867-5309")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sig = pii_signals(derived)
+    red = redact_pii(derived).select("doc_id", F.md5("text_redacted").alias("redacted_md5"))
+    return sig.join(red, "doc_id").select(
+        "doc_id", "n_url", "n_email", "n_ssn", "n_ipv4", "n_phone",
+        "n_pii_total", "redacted_md5",
+    )
+
+
 def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization of the event stream per user
     (pipeline.sessionize): one hash exchange on user_id serves the
@@ -593,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash_documents": _split_by_hash_documents,
         "decontaminate_documents": _decontaminate_documents,
         "repetition_documents": _repetition_documents,
+        "pii_documents": _pii_documents,
         "sessionize_events": _sessionize_events,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "revenue_per_nation": _revenue_per_nation,
@@ -1136,5 +1166,37 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        count(*)::BIGINT AS n_events,
        date_diff('second', min(ts), max(ts))::BIGINT AS duration_sec
 FROM s GROUP BY user_id, session_idx
+"""
+    # PII patterns are shared verbatim with the Spark op — written in
+    # the Java-regex/RE2 common subset (tests/test_pii.py pins the
+    # dialect parity), so one source of truth builds both sides.
+    from hjsonschema_spark.operators.pii import PII_PATTERNS as _PII
+
+    pii_counts = ",\n         ".join(
+        f"length(regexp_extract_all(t, '{p}'))::BIGINT AS n_{n}"
+        for n, p in _PII.items()
+    )
+    pii_total = " + ".join(f"n_{n}" for n in _PII)
+    pii_red = "t"
+    for _n, _p in _PII.items():
+        pii_red = f"regexp_replace({pii_red}, '{_p}', '[{_n.upper()}]', 'g')"
+    sql["pii_documents"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id || '@example.com' ||
+         ' via https://example.org/d/' || doc_id ||
+         ' from 10.0.' || (doc_id % 256) || '.7' ||
+         CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-867-5309' ELSE '' END AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, {pii_counts},
+         md5({pii_red}) AS redacted_md5
+  FROM d
+)
+SELECT doc_id, n_url, n_email, n_ssn, n_ipv4, n_phone,
+       ({pii_total})::BIGINT AS n_pii_total, redacted_md5
+FROM c
 """
     return sql

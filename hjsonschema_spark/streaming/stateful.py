@@ -35,6 +35,14 @@ Scale design (10^12 turns):
   fire timers and never terminates (observed: 288+ empty batches).
   The default (``state_ttl_minutes=None``) uses NoTimeout, which
   terminates AvailableNow catch-up runs once the data is drained.
+- For bounded state that ALSO terminates under AvailableNow, use
+  EVENT-time TTL (``event_ttl_minutes`` + a watermark): timers are
+  keyed to the watermark, which stops advancing when the data stops,
+  so the trailing no-data batch fires due timers and the run ends.
+  Eviction is then deterministic in the data (not the wall clock):
+  a conversation idle for more than the TTL in EVENT time is
+  forgotten, and a late turn after eviction restarts at state zero
+  (flagged as a contiguity restart, not a duplicate).
 - For production, enable the RocksDB state store provider
   (spark.sql.streaming.stateStore.providerClass) so state spills to
   local disk instead of executor heap.
@@ -75,13 +83,15 @@ STATE_SCHEMA = StructType(
 _COLS = [f.name for f in VIOLATION_SCHEMA.fields]
 
 
-def _ordered_state_fn(state_ttl_ms: int | None):
-    """Build the applyInPandasWithState function (closure over TTL;
-    None = NoTimeout mode, no eviction)."""
+def _ordered_state_fn(state_ttl_ms: int | None, event_ttl_ms: int | None = None):
+    """Build the applyInPandasWithState function. TTL closure:
+    state_ttl_ms = processing-time TTL, event_ttl_ms = event-time TTL
+    (timeout timestamp = last event ts + TTL, clamped above the
+    watermark as Spark requires), both None = NoTimeout."""
 
     def fn(key: Tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         conv_id = key[0]
-        if state_ttl_ms is not None and state.hasTimedOut:
+        if (state_ttl_ms is not None or event_ttl_ms is not None) and state.hasTimedOut:
             state.remove()
             return
         if state.exists:
@@ -136,6 +146,12 @@ def _ordered_state_fn(state_ttl_ms: int | None):
         state.update((max_idx, last_ts, n_turns))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
+        elif event_ttl_ms is not None:
+            # last_ts is epoch MICROS (or the -2^62 sentinel when every
+            # ts so far was NULL); timers take epoch millis and must sit
+            # strictly above the current watermark
+            due = last_ts // 1000 + event_ttl_ms
+            state.setTimeoutTimestamp(max(due, state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.DataFrame(out, columns=_COLS)
 
@@ -145,6 +161,8 @@ def _ordered_state_fn(state_ttl_ms: int | None):
 def ordered_state_stream(
     stream: DataFrame,
     state_ttl_minutes: int | None = None,
+    event_ttl_minutes: int | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Cross-batch ordered checks over a transcript stream.
 
@@ -167,24 +185,33 @@ def ordered_state_stream(
     conversation's first half, run 2 its second, and a duplicate in
     run 2 of a run-1 turn is still caught.
 
-    ``state_ttl_minutes``: None (default) = NoTimeout, state never
-    evicted — REQUIRED for Trigger.AvailableNow runs (see module
-    docstring: processing-time timers make AvailableNow loop no-data
-    batches forever). Set a TTL only under a ProcessingTime trigger.
+    TTL modes (mutually exclusive):
+    - both None (default): NoTimeout — state never evicted; safe for
+      Trigger.AvailableNow runs.
+    - ``state_ttl_minutes``: processing-time TTL — ONLY under a
+      ProcessingTime trigger (see module docstring: processing-time
+      timers make AvailableNow loop no-data batches forever).
+    - ``event_ttl_minutes``: event-time TTL — adds a watermark of
+      ``watermark_delay`` on ts; conversations idle past the TTL in
+      event time are evicted. Works under AvailableNow (timers stop
+      firing when the watermark stops advancing).
     """
+    if state_ttl_minutes is not None and event_ttl_minutes is not None:
+        raise ValueError("choose one of state_ttl_minutes / event_ttl_minutes")
     prepared = stream.select(
         F.col("conv_id").cast("string"),
         F.col("turn_idx").cast("long"),
         F.col("ts").cast("timestamp"),
     ).filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    if state_ttl_minutes is not None:
+        mode, fn = "ProcessingTimeTimeout", _ordered_state_fn(state_ttl_minutes * 60_000)
+    elif event_ttl_minutes is not None:
+        mode, fn = "EventTimeTimeout", _ordered_state_fn(None, event_ttl_minutes * 60_000)
+        prepared = prepared.withWatermark("ts", watermark_delay)
+    else:
+        mode, fn = "NoTimeout", _ordered_state_fn(None)
     return prepared.groupBy("conv_id").applyInPandasWithState(
-        _ordered_state_fn(
-            None if state_ttl_minutes is None else state_ttl_minutes * 60 * 1000
-        ),
-        VIOLATION_SCHEMA,
-        STATE_SCHEMA,
-        "append",
-        "NoTimeout" if state_ttl_minutes is None else "ProcessingTimeTimeout",
+        fn, VIOLATION_SCHEMA, STATE_SCHEMA, "append", mode
     )
 
 
@@ -193,18 +220,23 @@ def run_ordered_state(
     out_path: str,
     checkpoint_dir: str,
     state_ttl_minutes: int | None = None,
+    event_ttl_minutes: int | None = None,
+    watermark_delay: str = "10 minutes",
 ):
     """Run ordered_state_stream to AvailableNow completion, appending
     violations to ``out_path``. Returns the finished StreamingQuery.
-    TTL must stay None here (AvailableNow + processing-time timers
-    never terminate — module docstring)."""
+    Processing-time TTL is rejected here (AvailableNow + processing-time
+    timers never terminate — module docstring); event-time TTL is fine."""
     if state_ttl_minutes is not None:
         raise ValueError(
             "state_ttl_minutes is incompatible with AvailableNow: "
-            "processing-time timers force endless no-data micro-batches"
+            "processing-time timers force endless no-data micro-batches; "
+            "use event_ttl_minutes instead"
         )
     q = (
-        ordered_state_stream(stream, state_ttl_minutes)
+        ordered_state_stream(
+            stream, event_ttl_minutes=event_ttl_minutes, watermark_delay=watermark_delay
+        )
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -76,6 +76,45 @@ def test_ordered_state_cross_batch(spark, tmp_path):
     assert v3.count() == 5
 
 
+def test_event_time_ttl_evicts_idle_state(spark, tmp_path):
+    """Event-time TTL: a conversation idle past the TTL (in event time)
+    is evicted once the watermark passes its deadline; a late turn then
+    RESTARTS the conversation (contiguity restart), and is NOT a
+    duplicate even though the same turn_idx was seen before eviction.
+    Must terminate under AvailableNow (watermark-keyed timers)."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        run_ordered_state(
+            spark.readStream.schema(DDL).parquet(inp),
+            out, ckpt,
+            event_ttl_minutes=30, watermark_delay="10 minutes",
+        )
+
+    # run 1: conversation A, clean turns 0..2 around T0
+    _write(spark, [("A", i, _mins(i)) for i in range(3)], inp)
+    run()
+    assert spark.read.schema(VIOL_DDL).parquet(out).count() == 0
+
+    # run 2: a late-clock conversation W two hours on — pushes the
+    # watermark to ~T0+110min, far past A's deadline (T0+2min+30min),
+    # so A's timer fires in the trailing no-data batch and A is evicted
+    _write(spark, [("W", 0, _mins(120)), ("W", 1, _mins(121))], inp)
+    run()
+
+    # run 3: A redelivers turn 1 — with state evicted this must NOT be
+    # a duplicate; it restarts A, expected index 0
+    _write(spark, [("A", 1, _mins(122))], inp)
+    run()
+    got = {
+        (r["conv_id"], r["turn_idx"], r["check"], r["value"])
+        for r in spark.read.schema(VIOL_DDL).parquet(out).collect()
+    }
+    assert got == {("A", 1, "stream_contiguous:turn_idx", "expected=0")}
+
+
 def test_windowed_drift(spark, tmp_path):
     inp = str(tmp_path / "in")
     out = str(tmp_path / "out")
