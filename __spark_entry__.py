@@ -549,6 +549,38 @@ def _repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+_EVENTS_DRAFT4_SCHEMA = {
+    "type": "object",
+    "required": ["event_id", "ts"],
+    "additionalProperties": False,
+    "properties": {
+        "event_id": {"type": "integer", "minimum": 0},
+        "event_type": {"enum": list(EVENT_VOCAB)},
+        "value": {"type": "number", "minimum": 0, "maximum": 250},
+        "props": {"type": "string", "pattern": "[0-9]{2}\\}$", "minLength": 2},
+        "user_id": {"type": "integer"},
+    },
+    "dependencies": {"event_type": ["user_id"]},
+}
+
+
+def _schema_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The switch-over path: a draft-4 OBJECT schema compiled straight
+    into the columnar engine (checks/from_schema.py) and run as a
+    suite. At sf0.01 three checks fire (enum 2014, pattern 1027,
+    bounds:value 61); the oracle reproduces every structurally possible
+    branch, including the empty ones."""
+    from hjsonschema_spark.checks.from_schema import suite_from_schema
+
+    suite = suite_from_schema(
+        _EVENTS_DRAFT4_SCHEMA, name="events", key_columns=("event_id",), unique_key=True
+    )
+    res = run_suite(_t(spark, sf_dir, "events"), suite)
+    return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
+        "column", "col_name"
+    )
+
+
 def _pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan + redaction parity (operators/pii.py). The synthetic
     corpus contains no organic PII, so deterministic PII is derived
@@ -622,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash_documents": _split_by_hash_documents,
         "decontaminate_documents": _decontaminate_documents,
         "repetition_documents": _repetition_documents,
+        "schema_suite_events": _schema_suite_events,
         "pii_documents": _pii_documents,
         "sessionize_events": _sessionize_events,
         "topk_orders_per_customer": _topk_orders_per_customer,
@@ -1166,6 +1199,43 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
        count(*)::BIGINT AS n_events,
        date_diff('second', min(ts), max(ts))::BIGINT AS duration_sec
 FROM s GROUP BY user_id, session_idx
+"""
+    # every structurally possible violation branch of the compiled
+    # draft-4 events schema, including the ones empty at this SF
+    # (required, bounds:event_id, length, dependency, unique_key) —
+    # the oracle must stay in lockstep if the data drifts
+    sql["schema_suite_events"] = r"""
+SELECT event_id, 'enum:event_type' AS check_name, 'event_type' AS col_name,
+       event_type AS value
+FROM events WHERE event_type IS NOT NULL
+  AND event_type NOT IN ('click', 'view', 'signup', 'purchase')
+UNION ALL
+SELECT event_id, 'bounds:value', 'value', CAST(value AS VARCHAR)
+FROM events WHERE value IS NOT NULL AND NOT (value >= 0 AND value <= 250)
+UNION ALL
+SELECT event_id, 'pattern:props', 'props', props
+FROM events WHERE props IS NOT NULL AND NOT regexp_matches(props, '[0-9]{2}\}$')
+UNION ALL
+SELECT event_id, 'length:props', 'props', props
+FROM events WHERE props IS NOT NULL AND NOT (length(props) >= 2)
+UNION ALL
+SELECT event_id, 'required:event_id', 'event_id', CAST(event_id AS VARCHAR)
+FROM events WHERE event_id IS NULL
+UNION ALL
+SELECT event_id, 'required:ts', 'ts', CAST(ts AS VARCHAR)
+FROM events WHERE ts IS NULL
+UNION ALL
+SELECT event_id, 'bounds:event_id', 'event_id', CAST(event_id AS VARCHAR)
+FROM events WHERE event_id IS NOT NULL AND NOT (event_id >= 0)
+UNION ALL
+SELECT event_id, 'dependent_schema:event_type(required:user_id)', 'event_type',
+       '{"failed_branches":[0]}'
+FROM events WHERE event_type IS NOT NULL AND user_id IS NULL
+UNION ALL
+SELECT e.event_id, 'unique_key:event_id', 'event_id', CAST(d.n AS VARCHAR)
+FROM events e JOIN (
+  SELECT event_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) > 1
+) d USING (event_id)
 """
     # PII patterns are shared verbatim with the Spark op — written in
     # the Java-regex/RE2 common subset (tests/test_pii.py pins the

@@ -50,6 +50,9 @@ HEADLINE = [
     "ks_value",
     "psi_event_type",
     "drift_suite_events",
+    "schema_suite_events",
+    "pii_documents",
+    "sessionize_events",
 ]
 
 

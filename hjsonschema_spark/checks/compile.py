@@ -195,8 +195,16 @@ def compile_row_predicate(c: RowCheck) -> Column:
         col = F.col(c.column)
         if c.numeric_canonical:
             # mathematical equality (Utils.hs:94-119): canonicalize to
-            # decimal before comparing, so 1 == 1.0 == 1.00
-            canon = F.transform(col, lambda x: x.cast("decimal(38,18)"))
+            # decimal before comparing, so 1 == 1.0 == 1.00. try_cast,
+            # not cast: non-numeric elements (string arrays under ANSI
+            # mode) fall back to their raw string instead of throwing,
+            # so the same check config is safe on any element type.
+            canon = F.transform(
+                col,
+                lambda x: F.coalesce(
+                    x.try_cast("decimal(38,18)").cast("string"), x.cast("string")
+                ),
+            )
             return _guard(col, F.size(F.array_distinct(canon)) == F.size(canon))
         return _guard(col, F.size(F.array_distinct(col)) == F.size(col))
     if isinstance(c, ArrayForAll):

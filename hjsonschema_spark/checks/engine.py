@@ -303,10 +303,16 @@ def run_suite(
 
     # static schema conformance (`type` lifted): resolved at compile
     # time against df.schema, no per-row work (SURVEY §2.4 type row)
+    from hjsonschema_spark.checks.ir import json_type_matches
+
     dtypes = dict(df.dtypes)
     for c in resolved:
         if isinstance(c, TypeIs):
-            ok = dtypes.get(c.column) == c.type_name
+            actual = dtypes.get(c.column)
+            if c.json_type:
+                ok = actual is not None and json_type_matches(c.json_type, actual)
+            else:
+                ok = actual == c.type_name
             schema_verdicts.append((C.check_id(c), ok, None if ok else 1))
 
     row_checks = [c for c in resolved if isinstance(c, RowCheck)]

@@ -356,20 +356,48 @@ class ArrayPositional(RowCheck):
             raise ConfigInvalid("array_positional: no predicates and additional='any'")
 
 
+#: draft-4 `type` names → predicate over a Spark simpleString. `integer`
+#: is any integral Spark type; `number` additionally admits the floating
+#: and decimal families (a Spark int column IS a JSON number, mirroring
+#: Any.hs:338-341 where integer is a Number with isInteger).
+_JSON_TYPE_FAMILIES = {
+    "string": lambda t: t == "string",
+    "boolean": lambda t: t == "boolean",
+    "integer": lambda t: t in ("tinyint", "smallint", "int", "bigint"),
+    "number": lambda t: t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+    or t.startswith("decimal"),
+    "array": lambda t: t.startswith("array<"),
+    "object": lambda t: t.startswith("map<") or t.startswith("struct<"),
+    "null": lambda t: t == "void",
+}
+
+
+def json_type_matches(json_type: str, spark_simple: str) -> bool:
+    """Does a Spark type (simpleString) belong to a draft-4 type family?"""
+    return _JSON_TYPE_FAMILIES[json_type](spark_simple)
+
+
 @_register
 @dataclass(frozen=True)
 class TypeIs(RowCheck):
     """`type` keyword lifted to schema conformance: the column's
     declared Spark type must match (checked at compile time against
     df.schema — a static check, no per-row work, like the reference
-    classifying the value's type, Any.hs:320-341)."""
+    classifying the value's type, Any.hs:320-341). Either an exact
+    Spark simpleString (`type_name`) or a draft-4 type family
+    (`json_type`, e.g. "integer" matches any integral Spark type)."""
     kind: ClassVar[str] = "type_is"
     column: str = ""
     type_name: str = ""  # Spark simpleString, e.g. "string", "int", "array<float>"
+    json_type: str = ""  # draft-4 family name; mutually exclusive with type_name
 
     def validate_config(self):
-        if not self.column or not self.type_name:
-            raise ConfigInvalid("type_is: column and type_name must be set")
+        if not self.column or not (bool(self.type_name) ^ bool(self.json_type)):
+            raise ConfigInvalid(
+                "type_is: column and exactly one of type_name/json_type must be set"
+            )
+        if self.json_type and self.json_type not in _JSON_TYPE_FAMILIES:
+            raise ConfigInvalid(f"type_is: unknown json_type {self.json_type!r}")
 
 
 @_register
