@@ -46,6 +46,29 @@ def _get_spark(cores: int | None):
 def _load_registry_and_suite(args):
     from hjsonschema_spark.checks.ir import SuiteRegistry
 
+    if getattr(args, "schema", None):
+        # switch-over path: a raw draft-4 schema document instead of a
+        # suite config. The schema is itself validated against the
+        # embedded draft-4 meta-schema BEFORE any data is read
+        # (checkSchema before validate, Draft4.hs:134-148).
+        from hjsonschema_spark.checks.from_schema import suite_from_schema
+        from hjsonschema_spark.checks.ir import ConfigInvalid
+        from hjsonschema_spark.draft4 import Draft4Validator, SchemaInvalid
+
+        if not args.key:
+            raise SystemExit("--schema requires --key col1[,col2,...]")
+        with open(args.schema) as f:
+            doc = json.load(f)
+        try:
+            Draft4Validator(doc, check_schema=True)
+        except SchemaInvalid as e:
+            raise ConfigInvalid(f"schema file rejected by the draft-4 meta-schema: {e}")
+        name = os.path.splitext(os.path.basename(args.schema))[0]
+        suite = suite_from_schema(
+            doc, name=name, key_columns=tuple(args.key.split(",")),
+            unique_key=args.unique_key,
+        )
+        return SuiteRegistry(), suite
     if args.suites_dir:
         reg = SuiteRegistry.from_dir(args.suites_dir)
         name = args.suite_name or sorted(reg.suites)[0]
@@ -149,6 +172,10 @@ def build_parser() -> argparse.ArgumentParser:
     g = v.add_mutually_exclusive_group(required=True)
     g.add_argument("--suite", help="root suite JSON file (Ref'd suites loaded from its dir)")
     g.add_argument("--suites-dir", help="directory of suite JSONs")
+    g.add_argument("--schema", help="draft-4 JSON Schema document to compile into a suite")
+    v.add_argument("--key", help="comma-separated key columns (required with --schema)")
+    v.add_argument("--unique-key", action="store_true",
+                   help="with --schema: also enforce table-wide uniqueness of --key")
     v.add_argument("--suite-name", help="suite to run when using --suites-dir")
     v.add_argument("--vocab", action="append", metavar="NAME=PATH",
                    help="vocab table for ref_integrity/drift checks (repeatable)")

@@ -315,6 +315,52 @@ def run_suite(
                 ok = actual == c.type_name
             schema_verdicts.append((C.check_id(c), ok, None if ok else 1))
 
+    # `type` NESTED inside a combinator is a per-VALUE test in the
+    # reference (Any.hs:320-341), not a static column property — e.g.
+    # anyOf[{type: integer}, {minimum: 2}] over a double column must
+    # test integrality row by row (1.0 IS a draft-4 integer, isInteger
+    # at Any.hs:338-341). Rewrite nested TypeIs against the actual
+    # column type: `integer` on a floating column becomes x = floor(x);
+    # family matches/mismatches become constants. Top-level TypeIs
+    # stays a static schema verdict (above).
+    _FLOATING = ("float", "double")
+
+    def _typeis_rowpred(c) -> "ir.Custom":
+        from hjsonschema_spark.checks.ir import Custom as _Custom
+
+        t = dtypes.get(c.column)
+        label = f"json_type_{c.column}_{c.json_type or c.type_name}"
+        if c.json_type and t is not None:
+            if c.json_type == "integer" and (t in _FLOATING or t.startswith("decimal")):
+                return _Custom(name=label, expr=f"`{c.column}` = floor(`{c.column}`)")
+            ok = json_type_matches(c.json_type, t)
+        else:
+            ok = t == c.type_name
+        return _Custom(name=label, expr="true" if ok else "false")
+
+    def _rewrite_nested(c):
+        from hjsonschema_spark.checks.ir import (
+            AllOf as _All, AnyOf as _Any, DependentSchema as _Dep,
+            Not as _Not, OneOf as _One,
+        )
+
+        if isinstance(c, TypeIs):
+            return _typeis_rowpred(c)
+        if isinstance(c, (_All, _Any, _One)):
+            return type(c)(checks=tuple(_rewrite_nested(k) for k in c.checks))
+        if isinstance(c, _Not):
+            return _Not(check=_rewrite_nested(c.check))
+        if isinstance(c, _Dep):
+            return _Dep(
+                when_column=c.when_column,
+                checks=tuple(_rewrite_nested(k) for k in c.checks),
+            )
+        return c
+
+    resolved = tuple(
+        _rewrite_nested(c) if not isinstance(c, TypeIs) else c for c in resolved
+    )
+
     row_checks = [c for c in resolved if isinstance(c, RowCheck)]
     table_checks = [c for c in resolved if isinstance(c, TableCheck)]
     missing = [c for c in resolved if not isinstance(c, (RowCheck, TableCheck))]

@@ -99,6 +99,44 @@ def test_validate_finds_violations_and_writes_outputs(table_path, suite_file, tm
     assert verd.filter("scope = 'check'").count() >= 3  # required+enum+unique
 
 
+def test_validate_from_draft4_schema(table_path, tmp_path):
+    """--schema: a raw draft-4 document compiled by suite_from_schema,
+    self-validated against the meta-schema before any data is read."""
+    doc = tmp_path / "transcripts_schema.json"
+    doc.write_text(json.dumps({
+        "type": "object",
+        "required": ["conv_id", "turn_idx"],
+        "properties": {
+            "conv_id": {"type": "string"},
+            "turn_idx": {"type": "integer", "minimum": 0},
+            "role": {"enum": ["system", "user", "assistant", "tool"]},
+            "text": {"type": "string"},
+        },
+    }))
+    proc = _run_cli(
+        "validate", "--table", table_path, "--schema", str(doc),
+        "--key", "conv_id,turn_idx", "--unique-key", "--cores", "4",
+        cwd=tmp_path,
+    )
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert summary["suite"] == "transcripts_schema"
+    assert summary["by_check"].get("enum:role", 0) > 0
+
+    # a document the meta-schema rejects => exit 2 before data is read
+    bad = tmp_path / "bad_schema.json"
+    bad.write_text(json.dumps({"type": "object",
+                               "properties": {"x": {"type": 12}}}))
+    proc = _run_cli(
+        "validate", "--table", table_path, "--schema", str(bad),
+        "--key", "conv_id", "--cores", "2",
+        cwd=tmp_path,
+    )
+    assert proc.returncode == 2, (proc.stdout, proc.stderr[-1000:])
+    err = json.loads(proc.stderr.strip().splitlines()[-1])
+    assert err["error"] == "config_invalid" and "meta-schema" in err["detail"]
+
+
 def test_validate_config_error_exit_2(table_path, tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"name": "bad", "key_columns": ["conv_id"],
