@@ -178,6 +178,20 @@ def main_default() -> None:
     from hjsonschema_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    # The transcripts throughput job runs FIRST, in its own subprocess,
+    # BEFORE this process creates its SparkSession: (a) a JVM polluted
+    # by 20 queries ran it at 107-126s vs ~5s clean (ContextCleaner
+    # drains asynchronously; localCheckpoint blocks + tmpfs shuffle
+    # debris die only with the JVM), and (b) running the child AFTER
+    # the query loop doesn't help because SparkSession.stop() does NOT
+    # exit the parent's py4j JVM — its 64g heap would starve the child
+    # (same trap as --gen-only, see main_scaling).
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--transcripts-once"],
+        capture_output=True, text=True, timeout=1200, env=dict(os.environ),
+    )
+    tj = json.loads(proc.stdout.strip().splitlines()[-1])
+
     spark = get_spark(app_name="bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -189,13 +203,20 @@ def main_default() -> None:
         # and accumulated blocks (incl. localCheckpoint blocks from the
         # iterative CC op, which only die on JVM GC) otherwise pollute
         # the storage pool for every later measurement (measured: the
-        # transcripts job degraded 7.7s -> 53s after 17 queries)
+        # transcripts job degraded 7.7s -> 53s after 17 queries).
+        # clearCache alone is NOT enough: localCheckpoint RDD blocks and
+        # shuffle files (RAM-backed tmpfs) are freed only when their
+        # RDD/ShuffleDependency is GC'd, so force a full GC between
+        # queries — OUTSIDE every timed window (measured without it:
+        # every query after the iterative/eager ones inflated 3-60x,
+        # chi2 0.31s->40s, total 35s->501s; the storage pool was full
+        # of dead blocks and every small job GC-thrashed)
         spark.catalog.clearCache()
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
-    tj = run_transcripts_job(spark)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    spark.stop()
     timings["transcripts_full_suite"] = round(tj["wall_sec"], 3)
     total = round(sum(timings.values()), 3)
     print(
@@ -212,7 +233,6 @@ def main_default() -> None:
             }
         )
     )
-    spark.stop()
 
 
 def run_control_scan(spark, df) -> dict:
@@ -529,11 +549,32 @@ def main_gen_only() -> None:
     spark.stop()
 
 
+def main_transcripts_once() -> None:
+    """Transcripts throughput in a fresh JVM (the main bench's
+    subprocess child — see main_default for why it must be isolated).
+    One warm-up (cache fill + JIT) then median-of-3 on the cached
+    input: a single cold-shot run varied 5s..195s across host windows
+    (measured), which is noise, not a throughput number."""
+    from hjsonschema_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-transcripts-once", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(_ensure_transcripts(spark)).persist()
+    run_transcripts_job(spark, df)  # warm-up, unmeasured
+    runs = [run_transcripts_job(spark, df) for _ in range(3)]
+    out = sorted(runs, key=lambda r: r["wall_sec"])[1]
+    out["runs_sec"] = [round(r["wall_sec"], 2) for r in runs]
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--transcripts-only" in sys.argv:
         main_transcripts_only()
+    elif "--transcripts-once" in sys.argv:
+        main_transcripts_once()
     elif "--gen-only" in sys.argv:
         main_gen_only()
     else:
