@@ -377,3 +377,86 @@ def embedding_near_duplicates(
     return pairs.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= min_cosine
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    state_path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of one ingestion batch against a PERSISTENT
+    fingerprint store — the incremental complement of
+    ``exact_duplicates`` for corpora built in drops (daily crawls,
+    rolling transcript dumps), where each batch must dedup against
+    everything already ingested, not just itself.
+
+    State: a parquet table at ``state_path`` with
+    (fingerprint, first_id, batch_id) — one row per distinct document
+    ever accepted. Read with a min-reduce per fingerprint, so a
+    replayed append degrades to extra rows, never wrong answers.
+
+    Returns one row per input row: (id, fingerprint, status,
+    canonical_id) with status in:
+    - 'new'             first occurrence ever => appended to the state
+    - 'dup_in_batch'    duplicate of an earlier row in THIS batch
+    - 'dup_historical'  duplicate of a previously ingested document
+    The returned frame is eagerly localCheckpoint'ed BEFORE the state
+    append: its lineage includes a lazy scan of ``state_path``, so any
+    post-append recomputation would re-read the just-updated state and
+    mark the batch's own rows dup_historical (observed with a plain
+    persist — partitions recomputed after eviction read the new state).
+    Lineage truncation makes the result immune; the checkpoint blocks
+    die on JVM GC (same caveat as connected_components, see PLANS.md).
+
+    Exactly-once: this operator is idempotent in CONTENT (replaying a
+    batch re-marks rows dup_historical and appends nothing new — their
+    fingerprints are already in state) but appends are not transactional;
+    pair with checks/checkpoint.py's two-phase batch ledger when a crash
+    between append and downstream commit matters.
+
+    Scale notes (100 TB): both sides shuffle on fingerprint for the
+    join; the state side dominates, so store it bucketed BY fingerprint
+    (Iceberg bucket transform / Spark bucketBy) to make every batch's
+    join a one-sided shuffle of just the (small) batch. Reference
+    lineage: uniqueItems lifted to table scope and then across TIME
+    (Array.hs:73-77), same lift as streaming/stateful.py.
+    """
+    import os
+
+    spark = new_df.sparkSession
+    fp = fan_out(new_df).select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    batch_groups = fp.groupBy("fingerprint").agg(F.min(id_col).alias("_batch_keep"))
+    tagged = fp.join(batch_groups, "fingerprint")
+    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        hist = (
+            spark.read.parquet(state_path)
+            .groupBy("fingerprint")
+            .agg(F.min("first_id").alias("_hist_id"))
+        )
+    else:
+        hist = spark.createDataFrame([], "fingerprint string, _hist_id long")
+    tagged = tagged.join(hist, "fingerprint", "left")
+    result = tagged.select(
+        id_col,
+        "fingerprint",
+        F.when(F.col("_hist_id").isNotNull(), F.lit("dup_historical"))
+        .when(F.col(id_col) != F.col("_batch_keep"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        F.coalesce("_hist_id", "_batch_keep").alias("canonical_id"),
+    ).localCheckpoint(eager=True)
+    (
+        result.filter(F.col("status") == "new")
+        .select(
+            "fingerprint",
+            F.col(id_col).alias("first_id"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
+        )
+        .write.mode("append")
+        .parquet(state_path)
+    )
+    return result

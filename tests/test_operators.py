@@ -369,3 +369,48 @@ def test_ivf_assign_covers_all_clusters(spark):
     # and assignment is deterministic
     again = {r["vec_id"]: r["cluster_id"] for r in similarity.ivf_assign(corpus, cb).collect()}
     assert again == {r["vec_id"]: r["cluster_id"] for r in out}
+
+
+def test_incremental_dedup(spark, tmp_path):
+    state = str(tmp_path / "fp_state")
+
+    # batch 1: 10 and 11 collide (11 is the in-batch dup); 12 distinct
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "ALPHA  beta gamma"), (12, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    r1 = dedup.incremental_dedup(b1, state, batch_id=1)
+    got1 = {r["doc_id"]: (r["status"], r["canonical_id"]) for r in r1.collect()}
+    r1.unpersist()
+    assert got1 == {
+        10: ("new", 10),
+        11: ("dup_in_batch", 10),
+        12: ("new", 12),
+    }
+
+    # batch 2: 20 repeats batch-1 content; 21/22 collide in-batch; 23 new
+    b2 = spark.createDataFrame(
+        [(20, "alpha beta gamma"), (21, "zeta eta"), (22, "zeta  ETA"), (23, "theta iota")],
+        "doc_id long, text string",
+    )
+    r2 = dedup.incremental_dedup(b2, state, batch_id=2)
+    got2 = {r["doc_id"]: (r["status"], r["canonical_id"]) for r in r2.collect()}
+    r2.unpersist()
+    assert got2 == {
+        20: ("dup_historical", 10),
+        21: ("new", 21),
+        22: ("dup_in_batch", 21),
+        23: ("new", 23),
+    }
+
+    # replaying batch 2 is idempotent in content: everything is now
+    # historical, and the state gains no new fingerprints
+    n_state = spark.read.parquet(state).count()
+    r2b = dedup.incremental_dedup(b2, state, batch_id=2)
+    statuses = {r["doc_id"]: r["status"] for r in r2b.collect()}
+    r2b.unpersist()
+    assert statuses == {20: "dup_historical", 21: "dup_historical",
+                        22: "dup_historical", 23: "dup_historical"}
+    assert spark.read.parquet(state).count() == n_state
+    # state holds exactly the distinct corpus fingerprints
+    assert n_state == 4  # alpha-beta-gamma, delta-epsilon, zeta-eta, theta-iota
