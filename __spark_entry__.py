@@ -602,11 +602,14 @@ def _pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 7 == 0, F.lit(" call +1-555-867-5309")).otherwise(F.lit("")),
         ).alias("text"),
     )
-    sig = pii_signals(derived)
-    red = redact_pii(derived).select("doc_id", F.md5("text_redacted").alias("redacted_md5"))
-    return sig.join(red, "doc_id").select(
+    # counts and redaction in ONE projection (pii_signals then a
+    # same-frame column add) — a join of two derived frames here would
+    # re-scan and shuffle for no reason; this is a single scan-stage
+    # select with zero exchanges (PLANS.md audit)
+    sig = pii_signals(redact_pii(derived), id_cols=("doc_id", "text_redacted"))
+    return sig.select(
         "doc_id", "n_url", "n_email", "n_ssn", "n_ipv4", "n_phone",
-        "n_pii_total", "redacted_md5",
+        "n_pii_total", F.md5("text_redacted").alias("redacted_md5"),
     )
 
 
