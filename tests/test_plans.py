@@ -88,3 +88,26 @@ def test_no_unconditional_broadcast_of_dup_groups(spark):
     out = dedup.exact_duplicates(docs)
     logical = out._jdf.queryExecution().logical().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+def test_pii_documents_zero_exchanges(spark):
+    """PII scan + redaction are one scan-stage projection — any
+    Exchange here means someone reintroduced the two-frame join
+    (PLANS.md pii_documents audit)."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(E.queries()["pii_documents"](spark, SF))
+    assert "Exchange" not in plan, plan
+    # and the scan reads only the two needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) <= {"doc_id:bigint", "text:string"}, m
+
+
+def test_sessionize_single_hash_exchange(spark):
+    """sessionize: the lag/sum windows AND the (key, session) groupBy
+    all run off ONE hash exchange on the key (PLANS.md)."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(E.queries()["sessionize_events"](spark, SF))
+    n = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert n == 1, f"expected 1 hash exchange on user_id, saw {n}\n{plan}"
