@@ -200,3 +200,48 @@ def test_combinators_lift(spark):
         (-5, "not(enum:y)"),
         (5, "any_of(bounds:z,enum:z)"),
     }
+
+
+def test_pointer_escapes_and_array_indexing():
+    """JSON Pointer ~0/~1 unescaping and numeric indexing into schema
+    arrays (Pointers.hs semantics) work in $ref resolution."""
+    from hjsonschema_spark.checks.ir import Bounds
+
+    suite = suite_from_schema(
+        {"type": "object",
+         "definitions": {
+             "a/b": {"minimum": 1},
+             "t~d": {"maximum": 9},
+             "branches": {"allOf": [{"minimum": 5}]},
+         },
+         "properties": {
+             "p": {"$ref": "#/definitions/a~1b"},
+             "q": {"$ref": "#/definitions/t~0d"},
+             "r": {"$ref": "#/definitions/branches/allOf/0"},
+         }},
+        name="ptr", key_columns=("p",),
+    )
+    by_col = {c.column: c for c in suite.checks if isinstance(c, Bounds)}
+    assert by_col["p"].min == 1 and by_col["q"].max == 9 and by_col["r"].min == 5
+
+
+def test_sql_quote_escaping():
+    """Enum values and patterns with single quotes must not break the
+    generated element-predicate SQL."""
+    from hjsonschema_spark.checks.from_schema import _element_predicate, _sql_quote
+
+    assert _sql_quote("o'brien") == "'o''brien'"
+    pred = _element_predicate(
+        {"enum": ["o'brien", "plain"], "pattern": "^[a-z']+$"}, {}, frozenset()
+    )
+    assert "x IN ('o''brien', 'plain')" in pred
+    assert "x RLIKE '^[a-z'']+$'" in pred
+
+
+def test_items_unsupported_keyword_raises():
+    with pytest.raises(ConfigInvalid, match="not liftable to an element predicate"):
+        suite_from_schema(
+            {"type": "object",
+             "properties": {"a": {"items": {"uniqueItems": True}}}},
+            name="bad", key_columns=("a",),
+        )
