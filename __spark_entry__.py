@@ -23,6 +23,7 @@ from hjsonschema_spark.checks import (
     Contiguous,
     DependentSchema,
     Enum,
+    FunctionalDependency,
     Length,
     MultipleOf,
     NonNullCount,
@@ -162,6 +163,56 @@ def _monotonic_ts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("event_id")
     with_prev = ev.withColumn("_prev", F.lag("ts").over(w))
     return with_prev.filter(F.col("ts") < F.col("_prev")).select("event_id", "user_id")
+
+
+def _functional_dependency_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FD consistency check (table lift of `dependencies`,
+    Object.hs:160-183): l_orderkey must determine (l_returnflag,
+    l_linestatus) — TPC-H-ish data violates this heavily, so the check
+    FINDS the inconsistent orders. Group-scoped violation rows; runs
+    through the full suite path (dispatch + violation union + global
+    sort), not the runner directly."""
+    suite = CheckSuite(
+        name="lineitem_fd",
+        key_columns=("l_orderkey", "l_linenumber"),
+        checks=(
+            FunctionalDependency(
+                determinant=("l_orderkey",),
+                dependent=("l_returnflag", "l_linestatus"),
+            ),
+        ),
+    )
+    res = run_suite(_t(spark, sf_dir, "lineitem"), suite)
+    return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
+        "column", "col_name"
+    )
+
+
+def _agg_bounds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-statistic assertions (Bounds lifted to table scope,
+    Number.hs:49-83): avg/min/max/distinct-count/stddev of lineitem
+    columns against configured bounds. ALL five checks fold into ONE
+    aggregation pass (partial+final, column-pruned scan); the bounds
+    are chosen so the suite has both passing and failing verdicts."""
+    from hjsonschema_spark.checks import AggBounds
+
+    suite = CheckSuite(
+        name="lineitem_agg",
+        key_columns=("l_orderkey", "l_linenumber"),
+        checks=(
+            AggBounds(column="l_discount", agg="avg", min=0.02, max=0.08),
+            AggBounds(column="l_quantity", agg="max", max=40.0),  # fails: max=50
+            AggBounds(column="l_extendedprice", agg="min", min=0.0),
+            AggBounds(column="l_orderkey", agg="count_distinct", min=100.0),
+            AggBounds(column="l_tax", agg="stddev", max=0.01),  # fails: ~0.023
+        ),
+    )
+    res = run_suite(_t(spark, sf_dir, "lineitem"), suite)
+    return (
+        res.verdicts.filter("scope = 'table'")
+        .select(F.col("check").alias("check_name"), "passed")
+        .orderBy("check_name")
+    )
 
 
 def _dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,6 +679,18 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-and-chunk packing of documents into
+    512-token sequences across 16 md5 hash buckets
+    (pipeline.pack_sequences): one exchange on the bucket, per-bucket
+    cumulative-sum window, no UDFs."""
+    from hjsonschema_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=512, bucket_hex_chars=1
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations_lineitem": _suite_violations_lineitem,
@@ -636,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": _stats_lineitem,
         "enum_histogram_orders": _enum_histogram_orders,
         "monotonic_ts_events": _monotonic_ts_events,
+        "functional_dependency_lineitem": _functional_dependency_lineitem,
+        "agg_bounds_lineitem": _agg_bounds_lineitem,
         "dedup_exact_documents": _dedup_exact_documents,
         "ngram_jaccard_documents": _ngram_jaccard_documents,
         "token_stats_documents": _token_stats_documents,
@@ -660,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_suite_events": _schema_suite_events,
         "pii_documents": _pii_documents,
         "sessionize_events": _sessionize_events,
+        "pack_sequences_documents": _pack_sequences_documents,
         "topk_orders_per_customer": _topk_orders_per_customer,
         "revenue_per_nation": _revenue_per_nation,
         "draft4_validate_events_props": _draft4_validate_events_props,
@@ -747,6 +813,31 @@ SELECT event_id, user_id FROM (
          lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS p
   FROM events
 ) WHERE ts < p
+"""
+
+    sql["agg_bounds_lineitem"] = """
+SELECT check_name, passed FROM (
+  SELECT 'agg_bounds:avg(l_discount)' AS check_name,
+         avg(l_discount) >= 0.02 AND avg(l_discount) <= 0.08 AS passed FROM lineitem
+  UNION ALL
+  SELECT 'agg_bounds:max(l_quantity)', max(l_quantity) <= 40.0 FROM lineitem
+  UNION ALL
+  SELECT 'agg_bounds:min(l_extendedprice)', min(l_extendedprice) >= 0.0 FROM lineitem
+  UNION ALL
+  SELECT 'agg_bounds:count_distinct(l_orderkey)',
+         count(DISTINCT l_orderkey) >= 100.0 FROM lineitem
+  UNION ALL
+  SELECT 'agg_bounds:stddev(l_tax)', stddev_samp(l_tax) <= 0.01 FROM lineitem
+) ORDER BY check_name
+"""
+
+    sql["functional_dependency_lineitem"] = """
+SELECT l_orderkey, CAST(NULL AS INTEGER) AS l_linenumber,
+       'functional_dependency:l_orderkey->l_returnflag,l_linestatus' AS check_name,
+       'l_returnflag,l_linestatus' AS col_name,
+       CAST(count(DISTINCT (l_returnflag, l_linestatus)) AS VARCHAR) AS value
+FROM lineitem GROUP BY 1
+HAVING count(DISTINCT (l_returnflag, l_linestatus)) > 1
 """
 
     sql["dedup_exact_documents"] = r"""
@@ -1179,6 +1270,26 @@ FROM line_stats l LEFT JOIN gs g ON l.doc_id = g.doc_id
     # Spark's unix_timestamp() floors to whole seconds, so both the
     # 30-min gap test and duration_sec count second-boundary crossings —
     # DuckDB's date_diff('second', ...) has identical semantics
+    sql["pack_sequences_documents"] = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS ts FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+  FROM toks
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_offset
+  FROM base
+)
+SELECT doc_id, bucket, n_tokens, start_offset,
+       start_offset // 512 AS seq_idx,
+       bucket || '-' || CAST(start_offset // 512 AS VARCHAR) AS pack_id,
+       (n_tokens > 0 AND ((start_offset + n_tokens - 1) // 512) <> (start_offset // 512)) AS straddles
+FROM packed
+"""
+
     sql["sessionize_events"] = """
 WITH e AS (
   SELECT user_id, ts, event_id,

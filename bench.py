@@ -53,6 +53,8 @@ HEADLINE = [
     "schema_suite_events",
     "pii_documents",
     "sessionize_events",
+    "functional_dependency_lineitem",
+    "pack_sequences_documents",
 ]
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hjsonschema_spark.checks.ir import (
+    AggBounds,
     AllOf,
     AnyOf,
     ArrayForAll,
@@ -36,6 +37,7 @@ from hjsonschema_spark.checks.ir import (
     Custom,
     DependentSchema,
     Enum,
+    FunctionalDependency,
     KSDrift,
     Length,
     MapSize,
@@ -120,10 +122,19 @@ def check_id(c: Check) -> str:
         return f"ref_integrity:{','.join(c.columns)}->{c.ref_name}"
     if isinstance(c, Contiguous):
         return f"contiguous:{c.order_column}"
+    if isinstance(c, FunctionalDependency):
+        return (
+            "functional_dependency:"
+            + ",".join(c.determinant)
+            + "->"
+            + ",".join(c.dependent)
+        )
     if isinstance(c, Monotonic):
         return f"monotonic:{c.column}"
     if isinstance(c, NullRateMax):
         return f"null_rate_max:{c.column}"
+    if isinstance(c, AggBounds):
+        return f"agg_bounds:{c.agg}({c.column})"
     if isinstance(c, ChiSquareDrift):
         return f"chi2_drift:{c.column}->{c.ref_name}"
     if isinstance(c, KSDrift):
@@ -433,6 +444,37 @@ def run_contiguous(df: DataFrame, c: Contiguous, key_columns: tuple) -> DataFram
     )
 
 
+def run_functional_dependency(
+    df: DataFrame, c: FunctionalDependency, key_columns: tuple
+) -> DataFrame:
+    """One hash aggregation on the determinant (map-side partial):
+    count distinct dependent tuples per group, keep groups with >1.
+    The dependent tuple is a struct so multi-column dependents count
+    as one value; struct distinctness uses grouping equality (NULL
+    fields agree with NULL fields), matching SQL count(DISTINCT row).
+    No tag-back join — violations are group rows (bounded by #groups),
+    so nothing beyond the aggregation ever shuffles."""
+    g = list(c.determinant)
+    dep = F.struct(*[F.col(x) for x in c.dependent])
+    agg = (
+        df.select(*dict.fromkeys([*g, *c.dependent]))
+        .groupBy(*g)
+        .agg(F.count_distinct(dep).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+    )
+    dtypes = dict(df.dtypes)
+    sel = [
+        (F.col(k) if k in g else F.lit(None).cast(dtypes.get(k, "string"))).alias(k)
+        for k in key_columns
+    ]
+    return agg.select(
+        *sel,
+        F.lit(check_id(c)).alias("check"),
+        F.lit(",".join(c.dependent)).alias("column"),
+        F.col("_nd").cast("string").alias("value"),
+    )
+
+
 def run_monotonic(df: DataFrame, c: Monotonic, key_columns: tuple) -> DataFrame:
     from pyspark.sql import Window
 
@@ -591,24 +633,44 @@ def run_ordered_fused(
     ]
 
 
-def run_null_rates(df: DataFrame, checks: list[NullRateMax]) -> DataFrame:
-    """ALL null-rate checks in ONE lazy aggregation (column-pruned scan
-    of just the checked columns; partial+final agg) — returns verdict
-    rows, no eager driver job."""
-    aggs = [
-        F.avg(F.col(c.column).isNull().cast("double")).alias(f"_r{i}")
-        for i, c in enumerate(checks)
-    ]
+_AGG_FNS = {
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "sum": F.sum,
+    "count": F.count,
+    "count_distinct": F.count_distinct,
+    "stddev": F.stddev,  # sample stddev, matching SQL stddev_samp
+}
+
+
+def run_table_aggregates(
+    df: DataFrame, checks: "list[NullRateMax | AggBounds]"
+) -> DataFrame:
+    """ALL aggregate-level checks (null-rate bounds + statistic bounds)
+    in ONE lazy aggregation (column-pruned scan of just the checked
+    columns; partial+final agg) — returns verdict rows, no eager
+    driver job."""
+    aggs = []
+    oks = []
+    for i, c in enumerate(checks):
+        if isinstance(c, NullRateMax):
+            aggs.append(F.avg(F.col(c.column).isNull().cast("double")).alias(f"_r{i}"))
+            oks.append(F.coalesce(F.col(f"_r{i}"), F.lit(0.0)) <= F.lit(float(c.max_rate)))
+        else:  # AggBounds
+            aggs.append(_AGG_FNS[c.agg](F.col(c.column)).cast("double").alias(f"_r{i}"))
+            cond = F.lit(True)
+            if c.min is not None:
+                cond = cond & (F.col(f"_r{i}") >= F.lit(float(c.min)))
+            if c.max is not None:
+                cond = cond & (F.col(f"_r{i}") <= F.lit(float(c.max)))
+            # NULL statistic (empty/all-NULL input) => vacuous pass
+            oks.append(F.coalesce(cond, F.lit(True)))
     wide = df.agg(*aggs)
     rows = F.array(
         *[
-            F.struct(
-                F.lit(check_id(c)).alias("check"),
-                (F.coalesce(F.col(f"_r{i}"), F.lit(0.0)) <= F.lit(float(c.max_rate))).alias(
-                    "ok"
-                ),
-            )
-            for i, c in enumerate(checks)
+            F.struct(F.lit(check_id(c)).alias("check"), ok.alias("ok"))
+            for c, ok in zip(checks, oks)
         ]
     )
     return wide.select(F.explode(rows).alias("s")).select(

@@ -23,6 +23,7 @@ from hjsonschema_spark.checks.ir import (
     CheckSuite,
     ConfigInvalid,
     Contiguous,
+    FunctionalDependency,
     Monotonic,
     NullRateMax,
     RefIntegrity,
@@ -400,12 +401,15 @@ def run_suite(
     viols = [_row_violations(slim, keys)]
     verdicts = [_partition_verdicts(slim)]
 
-    # every NullRateMax folds into ONE lazy aggregation pass (column-
-    # pruned scan of just the checked columns, no eager .first() jobs)
-    nullrate_checks = [c for c in table_checks if isinstance(c, NullRateMax)]
-    table_checks = [c for c in table_checks if not isinstance(c, NullRateMax)]
-    if nullrate_checks:
-        verdicts.append(C.run_null_rates(df, nullrate_checks))
+    # every NullRateMax + AggBounds folds into ONE lazy aggregation pass
+    # (column-pruned scan of just the checked columns, no eager .first()
+    # jobs)
+    from hjsonschema_spark.checks.ir import AggBounds
+
+    agg_level = [c for c in table_checks if isinstance(c, (NullRateMax, AggBounds))]
+    table_checks = [c for c in table_checks if not isinstance(c, (NullRateMax, AggBounds))]
+    if agg_level:
+        verdicts.append(C.run_table_aggregates(df, agg_level))
 
     # distribution-drift checks (north star: chi² on role histograms,
     # KS on turn-length) produce table-scope verdict rows, not
@@ -446,6 +450,8 @@ def run_suite(
             v = C.run_contiguous(df, c, keys)
         elif isinstance(c, Monotonic):
             v = C.run_monotonic(df, c, keys)
+        elif isinstance(c, FunctionalDependency):
+            v = C.run_functional_dependency(df, c, keys)
         else:
             raise ConfigInvalid(f"unsupported table check {type(c).__name__}")
         viols.append(v)

@@ -618,6 +618,41 @@ class Monotonic(TableCheck):
 
 @_register
 @dataclass(frozen=True)
+class FunctionalDependency(TableCheck):
+    """determinant → dependent: every distinct determinant tuple must
+    map to exactly ONE distinct dependent tuple (the classic FD /
+    consistency check — "a conv_id has one user", "an order has one
+    status"). The `dependencies` keyword (Object.hs:160-183) ties keys
+    within one document; this is its table lift: agreement of the
+    dependent columns ACROSS all rows sharing a determinant.
+
+    Violations are GROUP-scoped (one row per inconsistent determinant
+    group, like Contiguous): key columns not in the determinant are
+    NULL, value = the number of distinct dependent tuples observed.
+    Output is bounded by #groups, never by #rows.
+
+    NULL semantics: a dependent tuple whose fields are NULL is a value
+    (two rows with dependent NULL agree; NULL vs 'x' disagree) —
+    grouping-style equality in both Spark and the DuckDB oracle.
+    """
+    kind: ClassVar[str] = "functional_dependency"
+    determinant: tuple = ()
+    dependent: tuple = ()
+
+    def validate_config(self):
+        if not self.determinant or not self.dependent:
+            raise ConfigInvalid(
+                "functional_dependency: determinant and dependent must be non-empty"
+            )
+        overlap = set(self.determinant) & set(self.dependent)
+        if overlap:
+            raise ConfigInvalid(
+                f"functional_dependency: columns {sorted(overlap)} appear on both sides"
+            )
+
+
+@_register
+@dataclass(frozen=True)
 class NullRateMax(TableCheck):
     """Aggregate-level null-rate bound on a column."""
     kind: ClassVar[str] = "null_rate_max"
@@ -629,6 +664,39 @@ class NullRateMax(TableCheck):
             raise ConfigInvalid("null_rate_max: column must be set")
         if not (0.0 <= self.max_rate <= 1.0):
             raise ConfigInvalid("null_rate_max: max_rate must be in [0,1]")
+
+
+@_register
+@dataclass(frozen=True)
+class AggBounds(TableCheck):
+    """Aggregate-level bound on a column statistic: agg(column) must
+    lie within [min, max] — `maximum`/`minimum` (Number.hs:49-83)
+    lifted from a row value to a table statistic ("mean discount in
+    [0.02, 0.08]", "distinct orders >= 1000"). One table-scope verdict
+    row; ALL AggBounds + NullRateMax checks in a suite fold into ONE
+    lazy aggregation pass (column-pruned scan, partial+final agg).
+
+    NULL statistic (empty table, or all-NULL column for avg/min/max)
+    ⇒ vacuous pass, mirroring the reference's type-mismatch rule
+    (Draft4.hs:28-33); use Required/NullRateMax for null policy.
+    """
+    kind: ClassVar[str] = "agg_bounds"
+    column: str = ""
+    agg: str = "avg"  # avg | min | max | sum | count | count_distinct | stddev
+    min: float | None = None
+    max: float | None = None
+
+    _AGGS = ("avg", "min", "max", "sum", "count", "count_distinct", "stddev")
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("agg_bounds: column must be set")
+        if self.agg not in self._AGGS:
+            raise ConfigInvalid(f"agg_bounds: agg must be one of {self._AGGS}")
+        if self.min is None and self.max is None:
+            raise ConfigInvalid("agg_bounds: at least one of min/max must be set")
+        if self.min is not None and self.max is not None and self.min > self.max:
+            raise ConfigInvalid("agg_bounds: min must be <= max")
 
 
 @_register

@@ -212,3 +212,70 @@ def sessionize(
         .cast("long")
         .alias("duration_sec"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_count_col: "F.Column | None" = None,
+    budget: int = 2048,
+    bucket_hex_chars: int = 2,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic concat-and-chunk context-window packing.
+
+    Training pipelines concatenate documents into fixed token-budget
+    sequences. A single global greedy pass is inherently serial (and a
+    single window over the corpus is a one-reducer job), so packing is
+    done per HASH BUCKET: each doc goes to bucket = first
+    `bucket_hex_chars` hex chars of md5(id || salt) (16^k buckets, a
+    pure function of the id — reshuffle-stable and engine-portable,
+    same trick as split_by_hash), and within a bucket docs are packed
+    in id order: a doc's offset is the exclusive running token sum and
+    its sequence index is start_offset // budget. `straddles` marks docs cut
+    by a sequence boundary (the concat-and-chunk cost metric).
+
+    Scale shape: ONE hash exchange on the bucket + a per-bucket sort —
+    no UDFs, no iteration. Bucket count (16^k) is the parallelism knob;
+    per-bucket skew is bounded because md5 spreads ids uniformly.
+    Zero-token docs occupy no space and never straddle.
+    """
+    if token_count_col is None:
+        from hjsonschema_spark.functions import tokens
+
+        token_count_col = F.size(tokens(F.col("text")))
+    from pyspark.sql import Window
+
+    bucket = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, bucket_hex_chars
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    out = (
+        df.select(F.col(id_col), token_count_col.cast("long").alias("n_tokens"))
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "start_offset",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("seq_idx", F.floor(F.col("start_offset") / budget))
+        .withColumn(
+            "straddles",
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget)
+                != F.col("seq_idx")
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        "start_offset",
+        "seq_idx",
+        F.concat_ws("-", "bucket", F.col("seq_idx").cast("string")).alias("pack_id"),
+        "straddles",
+    )

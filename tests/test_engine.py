@@ -532,3 +532,139 @@ def test_group_verdicts_from_slim_pass(spark):
     assert gv["c2"]["n_violations"] == 0 and gv["c2"]["passed"]
     with pytest.raises(ConfigInvalid, match="not in key_columns"):
         res.group_verdicts(("role",))
+
+
+# ---------------------------------------------------------------------------
+# FunctionalDependency (determinant -> dependent agreement)
+# ---------------------------------------------------------------------------
+
+def test_functional_dependency_finds_inconsistent_groups(spark):
+    from hjsonschema_spark.checks import FunctionalDependency
+
+    rows = [
+        ("c1", 0, "alice"),
+        ("c1", 1, "alice"),   # consistent group
+        ("c2", 0, "bob"),
+        ("c2", 1, "carol"),   # c2 maps to two users -> violation
+        ("c3", 0, None),
+        ("c3", 1, None),      # NULL agrees with NULL -> consistent
+        ("c4", 0, None),
+        ("c4", 1, "dave"),    # NULL vs value -> violation
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, user string")
+    suite = _suite(
+        FunctionalDependency(determinant=("conv_id",), dependent=("user",))
+    )
+    res = run_suite(df, suite)
+    viol = res.violations.collect()
+    assert sorted(r["conv_id"] for r in viol) == ["c2", "c4"]
+    # group-scoped rows: key columns outside the determinant are NULL
+    assert all(r["turn_idx"] is None for r in viol)
+    assert all(r["value"] == "2" for r in viol)
+    assert {r["check"] for r in viol} == {"functional_dependency:conv_id->user"}
+    assert not res.passed()
+
+
+def test_functional_dependency_multi_column_dependent(spark):
+    from hjsonschema_spark.checks import FunctionalDependency
+
+    rows = [
+        ("c1", 0, "a", "x"),
+        ("c1", 1, "a", "x"),      # same tuple -> fine
+        ("c2", 0, "a", "x"),
+        ("c2", 1, "a", "y"),      # second field differs -> violation
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, u string, v string")
+    suite = _suite(
+        FunctionalDependency(determinant=("conv_id",), dependent=("u", "v"))
+    )
+    viol = run_suite(df, suite).violations.collect()
+    assert [r["conv_id"] for r in viol] == ["c2"]
+    assert viol[0]["column"] == "u,v"
+
+
+def test_functional_dependency_config_validation():
+    from hjsonschema_spark.checks import FunctionalDependency
+
+    with pytest.raises(ConfigInvalid):
+        FunctionalDependency(determinant=(), dependent=("x",)).validate_config()
+    with pytest.raises(ConfigInvalid):
+        FunctionalDependency(determinant=("a",), dependent=("a", "b")).validate_config()
+
+
+# ---------------------------------------------------------------------------
+# AggBounds (aggregate-statistic assertions, one fold with NullRateMax)
+# ---------------------------------------------------------------------------
+
+def test_agg_bounds_mixed_verdicts(spark):
+    from hjsonschema_spark.checks import AggBounds
+
+    df = spark.createDataFrame(
+        [("c1", 0, 10.0), ("c1", 1, 20.0), ("c2", 0, 30.0)],
+        "conv_id string, turn_idx int, v double",
+    )
+    suite = _suite(
+        AggBounds(column="v", agg="avg", min=0.0, max=25.0),      # avg=20 pass
+        AggBounds(column="v", agg="max", max=25.0),               # 30 fail
+        AggBounds(column="v", agg="count_distinct", min=3.0),     # 3 pass
+        AggBounds(column="v", agg="sum", min=100.0),              # 60 fail
+    )
+    res = run_suite(df, suite)
+    got = {
+        r["check"]: r["passed"]
+        for r in res.verdicts.filter("scope = 'table'").collect()
+    }
+    assert got["agg_bounds:avg(v)"] is True
+    assert got["agg_bounds:max(v)"] is False
+    assert got["agg_bounds:count_distinct(v)"] is True
+    assert got["agg_bounds:sum(v)"] is False
+    assert not res.passed()  # aggregate failures flip the suite verdict
+
+
+def test_agg_bounds_null_statistic_vacuous_pass(spark):
+    from hjsonschema_spark.checks import AggBounds
+
+    df = spark.createDataFrame(
+        [("c1", 0, None), ("c1", 1, None)],
+        "conv_id string, turn_idx int, v double",
+    )
+    res = run_suite(df, _suite(AggBounds(column="v", agg="avg", min=5.0)))
+    [r] = res.verdicts.filter("scope = 'table'").collect()
+    assert r["passed"] is True  # all-NULL => NULL stat => vacuous pass
+    assert res.passed()
+
+
+def test_agg_bounds_folds_with_null_rate(spark):
+    """NullRateMax + AggBounds share ONE aggregation: both verdicts
+    appear and both semantics hold."""
+    from hjsonschema_spark.checks import AggBounds, NullRateMax
+
+    df = spark.createDataFrame(
+        [("c1", 0, None), ("c1", 1, 2.0), ("c2", 0, 4.0), ("c2", 1, 6.0)],
+        "conv_id string, turn_idx int, v double",
+    )
+    res = run_suite(
+        df,
+        _suite(
+            NullRateMax(column="v", max_rate=0.1),            # 0.25 fail
+            AggBounds(column="v", agg="avg", min=3.0, max=5.0),  # 4.0 pass
+        ),
+    )
+    got = {
+        r["check"]: r["passed"]
+        for r in res.verdicts.filter("scope = 'table'").collect()
+    }
+    assert got == {"null_rate_max:v": False, "agg_bounds:avg(v)": True}
+
+
+def test_agg_bounds_config_validation():
+    from hjsonschema_spark.checks import AggBounds
+
+    with pytest.raises(ConfigInvalid):
+        AggBounds(column="v", agg="median", min=0.0).validate_config()
+    with pytest.raises(ConfigInvalid):
+        AggBounds(column="v", agg="avg").validate_config()
+    with pytest.raises(ConfigInvalid):
+        AggBounds(column="v", agg="avg", min=2.0, max=1.0).validate_config()
+    with pytest.raises(ConfigInvalid):
+        AggBounds(column="", agg="avg", min=0.0).validate_config()

@@ -145,3 +145,58 @@ def test_sessionize_partition_invariant(spark):
     b = sessionize(df.repartition(13), tiebreak_col="event_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 7  # gaps actually split sessions on this data
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences (concat-and-chunk context-window packing)
+# ---------------------------------------------------------------------------
+
+def _docs(spark):
+    rows = [(i, "tok " * (i % 7) if i % 11 else "") for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from hjsonschema_spark.operators.pipeline import pack_sequences
+
+    df = _docs(spark)
+    a = pack_sequences(df, budget=16, bucket_hex_chars=1).collect()
+    b = pack_sequences(df.repartition(13), budget=16, bucket_hex_chars=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_sequences_offsets_are_exclusive_cumsums(spark):
+    from hjsonschema_spark.operators.pipeline import pack_sequences
+
+    out = pack_sequences(_docs(spark), budget=16, bucket_hex_chars=1).collect()
+    by_bucket: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        exp = by_bucket.get(r["bucket"], 0)
+        assert r["start_offset"] == exp
+        assert r["seq_idx"] == exp // 16
+        by_bucket[r["bucket"]] = exp + r["n_tokens"]
+
+
+def test_pack_sequences_straddle_and_empty_docs(spark):
+    from hjsonschema_spark.operators.pipeline import pack_sequences
+
+    out = pack_sequences(_docs(spark), budget=16, bucket_hex_chars=1).collect()
+    for r in out:
+        if r["n_tokens"] == 0:
+            assert not r["straddles"]  # zero-token docs occupy no space
+        else:
+            end = r["start_offset"] + r["n_tokens"] - 1
+            assert r["straddles"] == (end // 16 != r["seq_idx"])
+    # the fixture is dense enough that both outcomes occur
+    assert any(r["straddles"] for r in out)
+    assert any(not r["straddles"] for r in out if r["n_tokens"])
+
+
+def test_pack_sequences_custom_token_column(spark):
+    from hjsonschema_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "doc_id long, n long")
+    out = pack_sequences(
+        df, token_count_col=F.col("n"), budget=8, bucket_hex_chars=1
+    ).collect()
+    assert {r["n_tokens"] for r in out} == {5}

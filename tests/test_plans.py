@@ -111,3 +111,41 @@ def test_sessionize_single_hash_exchange(spark):
     plan = _formatted_plan(E.queries()["sessionize_events"](spark, SF))
     n = len(re.findall(r"hashpartitioning\(user_id", plan))
     assert n == 1, f"expected 1 hash exchange on user_id, saw {n}\n{plan}"
+
+
+def test_agg_bounds_single_aggregation_pass(spark):
+    """ALL NullRateMax + AggBounds checks fold into ONE aggregation:
+    the verdict plan has exactly one scan of the input and one
+    partial+final HashAggregate pair (one single-partition exchange),
+    regardless of how many aggregate checks the suite carries."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(E.queries()["agg_bounds_lineitem"](spark, SF))
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected 1 input scan for 5 agg checks, saw {scans}"
+
+
+def test_functional_dependency_no_tagback_join(spark):
+    """FD violations are group rows straight off the aggregation —
+    no join back to the input (output bounded by #groups), so the
+    plan holds exactly one scan and no join operator."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(
+        E.queries()["functional_dependency_lineitem"](spark, SF)
+    )
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected 1 scan, saw {scans}"
+    assert "Join" not in plan, "FD check must not join back to the input"
+
+
+def test_pack_sequences_one_exchange(spark):
+    """pack_sequences = one hash exchange on the bucket feeding the
+    cumulative-sum window; no other exchange (the final projection is
+    per-row)."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(E.queries()["pack_sequences_documents"](spark, SF))
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 1, f"expected 1 exchange, saw {n}"
+    assert len(re.findall(r"hashpartitioning\(bucket", plan)) >= 1

@@ -101,3 +101,24 @@ def test_draft4_json_roundtrip_stability(v):
     direct = Draft4Validator(schema).is_valid(v)
     via_json = Draft4Validator(schema).is_valid(loads_json(json.dumps(v)))
     assert direct == via_json
+
+
+def test_new_table_checks_round_trip_json():
+    """FunctionalDependency and AggBounds survive to_json/from_json
+    (kind-registry dispatch, tuple fields restored)."""
+    from hjsonschema_spark.checks.ir import (
+        AggBounds,
+        CheckSuite,
+        FunctionalDependency,
+    )
+
+    suite = CheckSuite(
+        name="rt",
+        key_columns=("k1", "k2"),
+        checks=(
+            FunctionalDependency(determinant=("a", "b"), dependent=("c",)),
+            AggBounds(column="v", agg="stddev", min=None, max=1.5),
+        ),
+    )
+    again = CheckSuite.from_json(suite.to_json())
+    assert again == suite
