@@ -600,6 +600,35 @@ def _repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def _leakage_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-safe train/val/test split (pipeline.leakage_safe_split):
+    the split hashes the exact-dup GROUP representative, so identical
+    documents can never straddle splits."""
+    from hjsonschema_spark.operators.pipeline import leakage_safe_split
+
+    return leakage_safe_split(
+        _t(spark, sf_dir, "documents"),
+        fractions={"train": 0.90, "val": 0.05, "test": 0.05},
+    )
+
+
+def _sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (pipeline.sample_by_hash):
+    keep 20% of long documents but 100% of short ones, keyed by
+    md5(doc_id) — reproducible across runs, partitionings, engines."""
+    from hjsonschema_spark.operators.pipeline import sample_by_hash
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "size_class", F.when(F.length("text") >= 400, "long").otherwise("short")
+    )
+    return sample_by_hash(
+        docs,
+        fraction=0.5,
+        strata_col="size_class",
+        strata_fractions={"long": 0.2, "short": 1.0},
+    ).select("doc_id", "size_class")
+
+
 _EVENTS_DRAFT4_SCHEMA = {
     "type": "object",
     "required": ["event_id", "ts"],
@@ -722,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash_documents": _split_by_hash_documents,
         "decontaminate_documents": _decontaminate_documents,
         "repetition_documents": _repetition_documents,
+        "leakage_split_documents": _leakage_split_documents,
+        "sample_stratified_documents": _sample_stratified_documents,
         "schema_suite_events": _schema_suite_events,
         "pii_documents": _pii_documents,
         "sessionize_events": _sessionize_events,
@@ -1214,6 +1245,29 @@ FROM events GROUP BY user_id
          ELSE 'test' END"""
     sql["split_by_hash_documents"] = f"""
 SELECT doc_id, {_split_case} AS split FROM documents
+"""
+
+    sql["leakage_split_documents"] = f"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+rep AS (SELECT f, min(doc_id) AS group_id FROM fp GROUP BY 1)
+SELECT fp.doc_id, rep.group_id,
+       {_split_case.replace("doc_id", "group_id")} AS split
+FROM fp JOIN rep USING (f)
+"""
+
+    _frac_20 = format(min(int(0.2 * 2**32), 2**32 - 1), "08x")
+    sql["sample_stratified_documents"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 400 THEN 'long' ELSE 'short' END AS size_class,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS u
+  FROM documents
+)
+SELECT doc_id, size_class FROM d
+WHERE u < CASE WHEN size_class = 'long' THEN '{_frac_20}' ELSE 'ffffffff' END
 """
     _sh5 = " || ' ' || ".join(f"ts[i+{j}]" for j in range(5))
     sql["decontaminate_documents"] = f"""

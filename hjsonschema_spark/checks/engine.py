@@ -302,6 +302,24 @@ def run_suite(
             expanded.append(c)
     resolved = tuple(expanded)
 
+    # fail fast on misspelled columns (schema validated before data,
+    # Draft4.hs:134-148): a table's schema is global and static, so a
+    # check naming an absent column is a CONFIG error here — a
+    # deliberate divergence from per-document JSON semantics (missing
+    # key => vacuous pass), which the row-wise Draft4Validator keeps.
+    # TypeIs is exempt (absence = failing schema verdict, above).
+    from hjsonschema_spark.checks.ir import referenced_columns
+
+    present = set(df.columns)
+    wanted: set[str] = set(suite.key_columns)
+    for c in resolved:
+        wanted |= referenced_columns(c)
+    absent = sorted(wanted - present)
+    if absent:
+        raise ConfigInvalid(
+            f"suite {suite.name!r} references columns not in the table: {absent}"
+        )
+
     # static schema conformance (`type` lifted): resolved at compile
     # time against df.schema, no per-row work (SURVEY §2.4 type row)
     from hjsonschema_spark.checks.ir import json_type_matches
@@ -362,7 +380,12 @@ def run_suite(
         _rewrite_nested(c) if not isinstance(c, TypeIs) else c for c in resolved
     )
 
-    row_checks = [c for c in resolved if isinstance(c, RowCheck)]
+    # top-level TypeIs is fully resolved as a schema verdict above —
+    # keep it out of the fused pass entirely (its failure-struct value
+    # expression would reference the column, which may not even exist)
+    row_checks = [
+        c for c in resolved if isinstance(c, RowCheck) and not isinstance(c, TypeIs)
+    ]
     table_checks = [c for c in resolved if isinstance(c, TableCheck)]
     missing = [c for c in resolved if not isinstance(c, (RowCheck, TableCheck))]
     if missing:

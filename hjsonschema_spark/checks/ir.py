@@ -912,3 +912,37 @@ class SuiteRegistry:
             return CheckSuite.from_json(raw)
         except (json.JSONDecodeError, KeyError, TypeError) as e:
             raise ConfigInvalid(f"bad suite file {path!r}: {e}") from e
+
+
+_SINGLE_COL_FIELDS = ("column", "order_column", "when_column")
+_MULTI_COL_FIELDS = ("columns", "group_by", "order_by", "determinant", "dependent")
+
+
+def referenced_columns(check: Check) -> set[str]:
+    """Input-table columns a check reads, by field-name convention
+    (single-column fields, tuple-of-column fields, nested check/checks),
+    so the engine can fail fast on misspelled columns. Deliberately
+    excluded: Custom (opaque SQL), ColumnsAllowed (declares ALLOWED
+    names — absence is fine), PatternColumns (regex over names),
+    RefIntegrity.ref_columns (vocab-table side), and TypeIs (absence is
+    a failing schema VERDICT, not a config error)."""
+    if isinstance(check, (Custom, ColumnsAllowed, PatternColumns, TypeIs)):
+        return set()
+    out: set[str] = set()
+    for f in _SINGLE_COL_FIELDS:
+        v = getattr(check, f, "")
+        if v:
+            out.add(v)
+    for f in _MULTI_COL_FIELDS:
+        if isinstance(check, RefIntegrity) and f != "columns":
+            continue
+        for v in getattr(check, f, ()) or ():
+            out.add(v)
+    nested = getattr(check, "checks", None)
+    if nested:
+        for k in nested:
+            out |= referenced_columns(k)
+    inner = getattr(check, "check", None)
+    if isinstance(inner, Check):
+        out |= referenced_columns(inner)
+    return out

@@ -279,3 +279,75 @@ def pack_sequences(
         F.concat_ws("-", "bucket", F.col("seq_idx").cast("string")).alias("pack_id"),
         "straddles",
     )
+
+
+def sample_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fraction: float = 0.1,
+    strata_col: str | None = None,
+    strata_fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff the first 8 hex
+    chars of md5(id || salt) fall under the fraction's threshold — the
+    same reshuffle-stable, engine-portable trick as split_by_hash
+    (df.sample() is seed+partitioning dependent, so it is neither
+    reproducible across engines nor auditable). With `strata_col`,
+    per-stratum fractions override the default (deterministic
+    stratified downsampling, e.g. cap 'en' at 5% while keeping 100% of
+    low-resource languages).
+
+    One projection, no shuffle, no sampling state; `salt` re-deals.
+    """
+    def _thr(f: float) -> str:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction must be in [0,1], got {f}")
+        return format(min(int(f * 2**32), 2**32 - 1), "08x")
+
+    u = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    if strata_col is None or not strata_fractions:
+        keep = u < F.lit(_thr(fraction))
+    else:
+        thr = None
+        for value, f in strata_fractions.items():
+            cond = F.col(strata_col) == F.lit(value)
+            t = F.lit(_thr(f))
+            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+        keep = u < thr.otherwise(F.lit(_thr(fraction)))
+    return df.filter(keep)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test assignment that can never leak a duplicate across
+    splits: the split is a hash of the exact-duplicate GROUP
+    representative (min id per normalized-text fingerprint), so
+    byte-identical documents land in the same split by construction —
+    the classic held-out-contamination failure of id-keyed splits.
+
+    Plan shape: fingerprint in the scan stage (md5 of normalized text,
+    the same fingerprint as dedup.exact_duplicates), ONE map-side-
+    combinable aggregation to the (fingerprint -> min id) group map,
+    one equi-join back on the fingerprint, then the split_by_hash
+    threshold projection keyed on group_id. The groupBy+join shape is
+    deliberate over a window min: a boilerplate fingerprint with 10^9
+    copies is a partial-aggregated row here, but would be a single
+    10^9-row window partition (one straggler task) the other way.
+
+    Output: (id, group_id, split). Near-duplicate-safe splits compose
+    the same way with dedup.near_duplicate_clusters' cluster_id.
+    """
+    from hjsonschema_spark.functions import doc_fingerprint
+
+    fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("_fp"))
+    rep = fp.groupBy("_fp").agg(F.min(id_col).alias("group_id"))
+    assigned = split_by_hash(
+        fp.join(rep, "_fp"), id_col="group_id", fractions=fractions, salt=salt
+    )
+    return assigned.select(id_col, "group_id", "split")

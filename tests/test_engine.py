@@ -668,3 +668,42 @@ def test_agg_bounds_config_validation():
         AggBounds(column="v", agg="avg", min=2.0, max=1.0).validate_config()
     with pytest.raises(ConfigInvalid):
         AggBounds(column="", agg="avg", min=0.0).validate_config()
+
+
+# ---------------------------------------------------------------------------
+# fail-fast on absent columns (schema validated before data)
+# ---------------------------------------------------------------------------
+
+def test_missing_column_is_config_error(spark):
+    from hjsonschema_spark.checks import Bounds, FunctionalDependency
+
+    df = spark.createDataFrame(
+        [("c1", 0, 1.0)], "conv_id string, turn_idx int, v double"
+    )
+    with pytest.raises(ConfigInvalid, match=r"\['w'\]"):
+        run_suite(df, _suite(Bounds(column="w", min=0.0)))
+    with pytest.raises(ConfigInvalid, match="model"):
+        run_suite(
+            df,
+            _suite(
+                FunctionalDependency(determinant=("conv_id",), dependent=("model",))
+            ),
+        )
+    # key_columns are validated too
+    suite = CheckSuite(
+        name="s", key_columns=("conv_id", "nope"), checks=(Bounds(column="v", min=0.0),)
+    )
+    with pytest.raises(ConfigInvalid, match="nope"):
+        run_suite(df, suite)
+
+
+def test_missing_column_typeis_is_verdict_not_error(spark):
+    """TypeIs on an absent column stays a FAILING schema verdict (the
+    type-conformance path), not a ConfigInvalid."""
+    from hjsonschema_spark.checks import TypeIs
+
+    df = spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int")
+    res = run_suite(df, _suite(TypeIs(column="ghost", json_type="string")))
+    [r] = res.verdicts.filter("scope = 'schema'").collect()
+    assert r["passed"] is False
+    assert not res.passed()

@@ -200,3 +200,57 @@ def test_pack_sequences_custom_token_column(spark):
         df, token_count_col=F.col("n"), budget=8, bucket_hex_chars=1
     ).collect()
     assert {r["n_tokens"] for r in out} == {5}
+
+
+# ---------------------------------------------------------------------------
+# sample_by_hash / leakage_safe_split
+# ---------------------------------------------------------------------------
+
+def test_sample_by_hash_deterministic_and_partition_invariant(spark):
+    from hjsonschema_spark.operators.pipeline import sample_by_hash
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = sorted(r["doc_id"] for r in sample_by_hash(df, fraction=0.3).collect())
+    b = sorted(
+        r["doc_id"] for r in sample_by_hash(df.repartition(17), fraction=0.3).collect()
+    )
+    assert a == b and 0.2 < len(a) / 2000 < 0.4
+    # salt re-deals the sample
+    c = sorted(r["doc_id"] for r in sample_by_hash(df, fraction=0.3, salt="x").collect())
+    assert c != a
+
+
+def test_sample_by_hash_stratified_rates(spark):
+    from hjsonschema_spark.operators.pipeline import sample_by_hash
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("cls"),
+    )
+    out = sample_by_hash(
+        df, fraction=0.5, strata_col="cls", strata_fractions={"big": 0.1, "small": 1.0}
+    )
+    got = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert got["small"] == 2000          # fraction 1.0 keeps (essentially) all
+    assert 100 < got["big"] < 350        # ~10% of 2000
+
+
+def test_leakage_safe_split_never_splits_duplicates(spark):
+    from hjsonschema_spark.operators.pipeline import leakage_safe_split
+
+    # ids chosen so a naive id-keyed split WOULD separate some dup pairs
+    rows = [(i, f"unique text {i}") for i in range(200)]
+    rows += [(1000 + i, f"unique text {i}") for i in range(200)]  # exact dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, fractions={"train": 0.6, "val": 0.2, "test": 0.2})
+    rows_out = out.collect()
+    assert len(rows_out) == 400
+    by_group: dict = {}
+    for r in rows_out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())  # no group straddles
+    # dup pairs share the representative (min id)
+    g = {r["doc_id"]: r["group_id"] for r in rows_out}
+    assert all(g[i] == i and g[1000 + i] == i for i in range(200))
+    # and the split actually uses more than one bucket
+    assert len({r["split"] for r in rows_out}) == 3
