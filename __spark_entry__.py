@@ -205,6 +205,10 @@ def _agg_bounds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             AggBounds(column="l_extendedprice", agg="min", min=0.0),
             AggBounds(column="l_orderkey", agg="count_distinct", min=100.0),
             AggBounds(column="l_tax", agg="stddev", max=0.01),  # fails: ~0.023
+            # exact interpolating percentile == DuckDB quantile_cont;
+            # the approx_quantile variant is the sketch-based 100-TB
+            # path (tested in test_engine, no exact SQL twin)
+            AggBounds(column="l_quantity", agg="quantile", quantile=0.5, max=30.0),
         ),
     )
     res = run_suite(_t(spark, sf_dir, "lineitem"), suite)
@@ -328,8 +332,24 @@ def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    out = dedup.embedding_near_duplicates(emb, min_cosine=0.5, bands=8, planes_per_band=8)
+    """Random unit vectors at dim 64 have NO true near-duplicates (max
+    pairwise cosine ~0.5 across 10^5 pairs), so running the operator on
+    the raw table proves nothing — it plants them instead: for each
+    vec_id < 40, a perturbed copy at vec_id+100000 with deterministic
+    per-coordinate noise (cosine ~0.994 to its source). The operator
+    must recover exactly the planted pairs: LSH candidates, then exact
+    cosine >= 0.95 keeps nothing else."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    noisy = F.transform(
+        "embedding",
+        lambda x, i: x + 0.02 * F.sin(F.col("vec_id") * 13 + i.cast("double")),
+    ).cast("array<float>")
+    planted = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), noisy.alias("embedding")
+    )
+    out = dedup.embedding_near_duplicates(
+        emb.unionByName(planted), min_cosine=0.95, bands=8, planes_per_band=8
+    )
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r"))
 
 
@@ -859,6 +879,9 @@ SELECT check_name, passed FROM (
          count(DISTINCT l_orderkey) >= 100.0 FROM lineitem
   UNION ALL
   SELECT 'agg_bounds:stddev(l_tax)', stddev_samp(l_tax) <= 0.01 FROM lineitem
+  UNION ALL
+  SELECT 'agg_bounds:quantile(l_quantity,0.5)',
+         quantile_cont(l_quantity, 0.5) <= 30.0 FROM lineitem
 ) ORDER BY check_name
 """
 

@@ -134,6 +134,8 @@ def check_id(c: Check) -> str:
     if isinstance(c, NullRateMax):
         return f"null_rate_max:{c.column}"
     if isinstance(c, AggBounds):
+        if c.agg in ("quantile", "approx_quantile"):
+            return f"agg_bounds:{c.agg}({c.column},{c.quantile:g})"
         return f"agg_bounds:{c.agg}({c.column})"
     if isinstance(c, ChiSquareDrift):
         return f"chi2_drift:{c.column}->{c.ref_name}"
@@ -658,7 +660,18 @@ def run_table_aggregates(
             aggs.append(F.avg(F.col(c.column).isNull().cast("double")).alias(f"_r{i}"))
             oks.append(F.coalesce(F.col(f"_r{i}"), F.lit(0.0)) <= F.lit(float(c.max_rate)))
         else:  # AggBounds
-            aggs.append(_AGG_FNS[c.agg](F.col(c.column)).cast("double").alias(f"_r{i}"))
+            if c.agg == "quantile":
+                # exact interpolating percentile (== SQL quantile_cont)
+                a = F.percentile(F.col(c.column), F.lit(float(c.quantile)))
+            elif c.agg == "approx_quantile":
+                # Greenwald-Khanna sketch: map-side combinable, no
+                # per-value shuffle — the 10^12-row path
+                a = F.percentile_approx(
+                    F.col(c.column), F.lit(float(c.quantile)), F.lit(c.accuracy)
+                )
+            else:
+                a = _AGG_FNS[c.agg](F.col(c.column))
+            aggs.append(a.cast("double").alias(f"_r{i}"))
             cond = F.lit(True)
             if c.min is not None:
                 cond = cond & (F.col(f"_r{i}") >= F.lit(float(c.min)))

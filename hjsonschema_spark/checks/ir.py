@@ -683,10 +683,22 @@ class AggBounds(TableCheck):
     kind: ClassVar[str] = "agg_bounds"
     column: str = ""
     agg: str = "avg"  # avg | min | max | sum | count | count_distinct | stddev
+    #                 # | quantile | approx_quantile (set `quantile` too)
     min: float | None = None
     max: float | None = None
+    # for agg in {quantile, approx_quantile}: which quantile (0..1).
+    # `quantile` is exact linear-interpolation percentile (SQL
+    # percentile / quantile_cont) — one extra shuffle of the column's
+    # values, use for oracled small/medium tables. `approx_quantile` is
+    # the 100-TB path: Greenwald-Khanna sketch (percentile_approx,
+    # relative error 1/accuracy), map-side combinable, no value shuffle.
+    quantile: float | None = None
+    accuracy: int = 10000  # approx_quantile sketch accuracy knob
 
-    _AGGS = ("avg", "min", "max", "sum", "count", "count_distinct", "stddev")
+    _AGGS = (
+        "avg", "min", "max", "sum", "count", "count_distinct", "stddev",
+        "quantile", "approx_quantile",
+    )
 
     def validate_config(self):
         if not self.column:
@@ -697,6 +709,11 @@ class AggBounds(TableCheck):
             raise ConfigInvalid("agg_bounds: at least one of min/max must be set")
         if self.min is not None and self.max is not None and self.min > self.max:
             raise ConfigInvalid("agg_bounds: min must be <= max")
+        if self.agg in ("quantile", "approx_quantile"):
+            if self.quantile is None or not 0.0 <= self.quantile <= 1.0:
+                raise ConfigInvalid("agg_bounds: quantile must be set in [0,1]")
+        elif self.quantile is not None:
+            raise ConfigInvalid(f"agg_bounds: quantile is not valid for agg={self.agg!r}")
 
 
 @_register

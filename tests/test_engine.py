@@ -707,3 +707,39 @@ def test_missing_column_typeis_is_verdict_not_error(spark):
     [r] = res.verdicts.filter("scope = 'schema'").collect()
     assert r["passed"] is False
     assert not res.passed()
+
+
+def test_agg_bounds_quantile_exact_and_approx(spark):
+    """quantile = exact interpolating percentile (quantile_cont
+    semantics); approx_quantile = Greenwald-Khanna sketch (the
+    shuffle-free 100-TB path) — at this accuracy both see the truth."""
+    from hjsonschema_spark.checks import AggBounds
+
+    df = spark.createDataFrame(
+        [("c1", i, float(i)) for i in range(101)],
+        "conv_id string, turn_idx int, v double",
+    )
+    suite = _suite(
+        AggBounds(column="v", agg="quantile", quantile=0.5, min=50.0, max=50.0),
+        AggBounds(column="v", agg="quantile", quantile=0.9, max=89.0),   # 90 fail
+        AggBounds(column="v", agg="approx_quantile", quantile=0.99, max=99.0),
+    )
+    res = run_suite(df, suite)
+    got = {
+        r["check"]: r["passed"]
+        for r in res.verdicts.filter("scope = 'table'").collect()
+    }
+    assert got["agg_bounds:quantile(v,0.5)"] is True
+    assert got["agg_bounds:quantile(v,0.9)"] is False
+    assert got["agg_bounds:approx_quantile(v,0.99)"] is True
+
+
+def test_agg_bounds_quantile_config_validation():
+    from hjsonschema_spark.checks import AggBounds
+
+    with pytest.raises(ConfigInvalid):
+        AggBounds(column="v", agg="quantile", max=1.0).validate_config()  # no q
+    with pytest.raises(ConfigInvalid):
+        AggBounds(column="v", agg="quantile", quantile=1.5, max=1.0).validate_config()
+    with pytest.raises(ConfigInvalid):
+        AggBounds(column="v", agg="avg", quantile=0.5, max=1.0).validate_config()

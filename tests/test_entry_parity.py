@@ -93,3 +93,15 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert set(df.columns) == {"check", "n_violations", "passed"}
+
+
+def test_embedding_near_dup_recovers_planted_pairs(spark):
+    """The driver query plants perturbed copies (vec_id+100000,
+    cosine ~0.994); the LSH+exact-verify operator must recover exactly
+    those 40 pairs — random dim-64 unit vectors contribute nothing at
+    min_cosine=0.95."""
+    df = entrymod.queries()["embedding_near_dup"](spark, SF)
+    rows = df.collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == {(i, i + 100000) for i in range(40)}
+    assert all(r["cosine_r"] >= 0.95 for r in rows)
