@@ -78,6 +78,16 @@ def _suite_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clean_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate-and-filter: keys of rows that survive the flagship
+    suite under strict quarantine (row checks pass AND the key is not
+    implicated in a key-scoped table violation). Group-scoped
+    contiguity violations carry a NULL order position and by design do
+    not remove individual rows."""
+    res = run_suite(_t(spark, sf_dir, "lineitem"), _LINEITEM_SUITE)
+    return res.clean_rows(strict=True).select("l_orderkey", "l_linenumber")
+
+
 def _suite_violations_capped_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-violation path through the driver gate: with the cap
     above every per-check count, the deterministic sample must equal
@@ -744,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "suite_violations_lineitem": _suite_violations_lineitem,
         "suite_violations_capped_lineitem": _suite_violations_capped_lineitem,
+        "clean_rows_lineitem": _clean_rows_lineitem,
         "ref_violations_events": _ref_violations_events,
         "stats_lineitem": _stats_lineitem,
         "enum_histogram_orders": _enum_histogram_orders,
@@ -1249,6 +1260,25 @@ GROUP BY n_name
     # the capped sample equals the full set when every check is under
     # the cap (see _suite_violations_capped_lineitem) — same oracle
     sql["suite_violations_capped_lineitem"] = sql["suite_violations_lineitem"]
+
+    # clean rows = all keys minus the row-keyed violation keys of the
+    # SAME violations oracle (group-scoped contiguity rows carry a NULL
+    # l_linenumber and do not quarantine individual rows); row checks
+    # (required/bounds/enum/length/pattern/multipleOf) are spelled out
+    # so the oracle stays honest if testdata ever grows row violations.
+    # NULL => vacuous pass for every check except required.
+    sql["clean_rows_lineitem"] = f"""
+WITH viol AS ({sql["suite_violations_lineitem"]})
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_shipdate IS NOT NULL
+  AND coalesce(l_discount >= 0.0 AND l_discount <= 0.1, TRUE)
+  AND coalesce(l_returnflag IN ('A', 'N', 'R'), TRUE)
+  AND coalesce(length(l_linestatus) = 1, TRUE)
+  AND coalesce(regexp_matches(l_returnflag, '[ANR]'), TRUE)
+  AND coalesce(CAST(l_tax AS DECIMAL(18,6)) % 0.01 = 0, TRUE)
+EXCEPT
+SELECT l_orderkey, l_linenumber FROM viol WHERE l_linenumber IS NOT NULL
+"""
 
     # a row fails iff event_type is NULL (required) or outside the
     # vocabulary (enum; NULL => vacuous pass, subsumed by required here)

@@ -73,6 +73,45 @@ class ValidationResult:
         )
     _summary: dict[str, Any] | None = field(default=None, repr=False)
     _persisted: tuple = field(default=(), repr=False)
+    # violations before the byte-stability global sort — clean_rows'
+    # anti-join must not inherit a useless sort node
+    _viols_unsorted: DataFrame | None = field(default=None, repr=False)
+
+    def clean_rows(self, strict: bool = True) -> DataFrame:
+        """The validate-and-filter surface: input rows that passed,
+        original schema — route these to the pipeline, `quarantine()`
+        the rest (the per-row analogue of the reference's accept/reject
+        `validate` verdict, Draft4.hs:62-81, as a dataset operation).
+
+        strict=False — rows whose ROW checks all passed: a pure filter
+        on the fused pass, zero extra scans or shuffles (codegen'd
+        filter on the already-computed `_failures` array). Rows
+        implicated only in table-scope violations (duplicate keys) are
+        NOT excluded.
+
+        strict=True (default) — additionally anti-joins the row-keyed
+        violation set on key_columns (one hash exchange of keys only;
+        with run_suite(persist=True) the violation side reuses the
+        cached union, no second input scan), so rows implicated in
+        key-scoped table checks (UniqueKey, Monotonic) are quarantined
+        too. Group-scoped violations (Contiguous gaps — emitted with a
+        NULL order position, no single culpable row) never match the
+        equality anti-join by construction; quarantine whole groups via
+        group_verdicts() if that is the policy.
+        """
+        base = self.checked.filter(F.size("_failures") == 0).drop("_failures")
+        if not strict:
+            return base
+        keys = list(self.suite.key_columns)
+        src = self._viols_unsorted if self._viols_unsorted is not None else self.violations
+        return base.join(src.select(*keys).dropDuplicates(keys), keys, "left_anti")
+
+    def quarantine(self) -> DataFrame:
+        """Rows where at least one ROW check failed, with the failure
+        structs attached (`_failures`: array<struct<check,column,value>>)
+        — the write-aside side of the validate-and-filter pattern. Same
+        fused pass as everything else; no extra scan."""
+        return self.checked.filter(F.size("_failures") > 0)
 
     def passed(self) -> bool:
         """True iff zero violation rows AND every table/schema-scope
@@ -559,5 +598,6 @@ def run_suite(
         stats=column_stats(df) if include_stats else None,
         violations_sample=sample,
         _slim=slim,
+        _viols_unsorted=all_viols,
         _persisted=tuple(persisted),
     )

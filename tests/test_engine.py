@@ -743,3 +743,56 @@ def test_agg_bounds_quantile_config_validation():
         AggBounds(column="v", agg="quantile", quantile=1.5, max=1.0).validate_config()
     with pytest.raises(ConfigInvalid):
         AggBounds(column="v", agg="avg", quantile=0.5, max=1.0).validate_config()
+
+
+# ---------------------------------------------------------------------------
+# clean_rows / quarantine (validate-and-filter)
+# ---------------------------------------------------------------------------
+
+def test_clean_rows_and_quarantine_partition(spark):
+    """clean + quarantine partition the input on row checks; strict
+    mode also drops rows implicated in key-scoped table violations."""
+    from hjsonschema_spark.checks import Bounds, UniqueKey
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, 1.0),    # clean
+            ("c1", 1, 99.0),   # row-check failure (bounds)
+            ("c2", 0, 2.0),    # duplicate key pair...
+            ("c2", 0, 3.0),    # ...both rows implicated
+            ("c3", 0, 4.0),    # clean
+        ],
+        "conv_id string, turn_idx int, v double",
+    )
+    suite = _suite(
+        Bounds(column="v", min=0.0, max=10.0),
+        UniqueKey(columns=("conv_id", "turn_idx")),
+    )
+    res = run_suite(df, suite, persist=True)
+    loose = {(r["conv_id"], r["turn_idx"]) for r in res.clean_rows(strict=False).collect()}
+    assert loose == {("c1", 0), ("c2", 0), ("c2", 0), ("c3", 0)} - set()  # dups collapse in set
+    strict = {(r["conv_id"], r["turn_idx"]) for r in res.clean_rows().collect()}
+    assert strict == {("c1", 0), ("c3", 0)}
+    # clean keeps the original schema
+    assert set(res.clean_rows().columns) == {"conv_id", "turn_idx", "v"}
+    q = res.quarantine().collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in q} == {("c1", 1)}
+    assert q[0]["_failures"][0]["check"].startswith("bounds:")
+    res.unpersist()
+
+
+def test_clean_rows_group_scope_violations_do_not_quarantine(spark):
+    """Contiguous violations are group-scoped (NULL order position):
+    strict clean_rows must NOT drop the group's rows."""
+    from hjsonschema_spark.checks import Contiguous
+
+    df = spark.createDataFrame(
+        [("c1", 1, 1.0), ("c1", 3, 2.0), ("c2", 1, 3.0)],  # c1 has a gap
+        "conv_id string, turn_idx int, v double",
+    )
+    suite = _suite(
+        Contiguous(order_column="turn_idx", group_by=("conv_id",), start=1)
+    )
+    res = run_suite(df, suite)
+    assert res.violations.count() == 1  # the c1 group row
+    assert res.clean_rows(strict=True).count() == 3  # no row-level quarantine
