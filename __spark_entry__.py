@@ -175,6 +175,35 @@ def _monotonic_ts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_prev.filter(F.col("ts") < F.col("_prev")).select("event_id", "user_id")
 
 
+def _conversation_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shape checks on the events stream: SequencePattern
+    (every user's ordered event_type sequence must start with 'signup'
+    — pattern, String.hs:37-53, lifted to a whole conversation) and
+    GroupAggBounds (<=80 events per user — per-group statistic bounds).
+    Both are ONE hash aggregation each, group-scoped violations."""
+    from hjsonschema_spark.checks import GroupAggBounds, SequencePattern
+
+    suite = CheckSuite(
+        name="events_conversation",
+        key_columns=("user_id", "event_id"),
+        checks=(
+            SequencePattern(
+                column="event_type",
+                group_by=("user_id",),
+                order_by=("ts", "event_id"),
+                regex="^signup",
+            ),
+            GroupAggBounds(
+                column="event_id", agg="count", group_by=("user_id",), max=80.0
+            ),
+        ),
+    )
+    res = run_suite(_t(spark, sf_dir, "events"), suite)
+    return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
+        "column", "col_name"
+    )
+
+
 def _functional_dependency_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FD consistency check (table lift of `dependencies`,
     Object.hs:160-183): l_orderkey must determine (l_returnflag,
@@ -760,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_histogram_orders": _enum_histogram_orders,
         "monotonic_ts_events": _monotonic_ts_events,
         "functional_dependency_lineitem": _functional_dependency_lineitem,
+        "conversation_checks_events": _conversation_checks_events,
         "agg_bounds_lineitem": _agg_bounds_lineitem,
         "dedup_exact_documents": _dedup_exact_documents,
         "ngram_jaccard_documents": _ngram_jaccard_documents,
@@ -894,6 +924,24 @@ SELECT check_name, passed FROM (
   SELECT 'agg_bounds:quantile(l_quantity,0.5)',
          quantile_cont(l_quantity, 0.5) <= 30.0 FROM lineitem
 ) ORDER BY check_name
+"""
+
+    sql["conversation_checks_events"] = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(event_type, ',' ORDER BY ts, event_id, event_type) AS s,
+         count(event_id) AS n
+  FROM events GROUP BY 1
+)
+SELECT user_id, CAST(NULL AS BIGINT) AS event_id,
+       'sequence_pattern:event_type by user_id' AS check_name,
+       'event_type' AS col_name, substr(s, 1, 256) AS value
+FROM seq WHERE NOT regexp_matches(s, '^signup')
+UNION ALL
+SELECT user_id, CAST(NULL AS BIGINT) AS event_id,
+       'group_agg_bounds:count(event_id) by user_id' AS check_name,
+       'event_id' AS col_name, CAST(CAST(n AS DOUBLE) AS VARCHAR) AS value
+FROM seq WHERE n > 80
 """
 
     sql["functional_dependency_lineitem"] = """

@@ -54,6 +54,8 @@ HEADLINE = [
     "pii_documents",
     "sessionize_events",
     "functional_dependency_lineitem",
+    "conversation_checks_events",
+    "clean_rows_lineitem",
     "pack_sequences_documents",
 ]
 

@@ -117,6 +117,11 @@ def cmd_validate(args) -> int:
             overwrite_table(res.verdicts, os.path.join(out, "verdicts"))
             if res.stats is not None:
                 overwrite_table(res.stats, os.path.join(out, "stats"))
+            if args.quarantine:
+                # validate-and-filter: clean rows keep the input schema;
+                # quarantined rows carry their failure structs
+                overwrite_table(res.clean_rows(), os.path.join(out, "clean"))
+                overwrite_table(res.quarantine(), os.path.join(out, "quarantine"))
         summary = res.summary()
         ok = res.passed()
         res.unpersist()
@@ -181,6 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vocab table for ref_integrity/drift checks (repeatable)")
     v.add_argument("--out", help="output directory (violations/, verdicts/, stats/)")
     v.add_argument("--stats", action="store_true", help="also compute column stats")
+    v.add_argument("--quarantine", action="store_true",
+                   help="with --out: also write clean/ (rows that passed, input "
+                        "schema) and quarantine/ (failing rows + _failures structs)")
     v.add_argument("--max-violations-per-check", type=int, default=None,
                    help="bound the written violations per check (counts stay exact)")
     v.add_argument("--snapshot-id", type=int, default=None, help="Iceberg snapshot pin")

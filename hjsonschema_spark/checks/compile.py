@@ -38,6 +38,7 @@ from hjsonschema_spark.checks.ir import (
     DependentSchema,
     Enum,
     FunctionalDependency,
+    GroupAggBounds,
     KSDrift,
     Length,
     MapSize,
@@ -53,6 +54,7 @@ from hjsonschema_spark.checks.ir import (
     RefIntegrity,
     Required,
     RowCheck,
+    SequencePattern,
     Contiguous,
     TypeIs,
     UniqueKey,
@@ -131,6 +133,10 @@ def check_id(c: Check) -> str:
         )
     if isinstance(c, Monotonic):
         return f"monotonic:{c.column}"
+    if isinstance(c, SequencePattern):
+        return f"sequence_pattern:{c.column} by {','.join(c.group_by)}"
+    if isinstance(c, GroupAggBounds):
+        return f"group_agg_bounds:{c.agg}({c.column}) by {','.join(c.group_by)}"
     if isinstance(c, NullRateMax):
         return f"null_rate_max:{c.column}"
     if isinstance(c, AggBounds):
@@ -474,6 +480,120 @@ def run_functional_dependency(
         F.lit(check_id(c)).alias("check"),
         F.lit(",".join(c.dependent)).alias("column"),
         F.col("_nd").cast("string").alias("value"),
+    )
+
+
+def _group_scope_select(df: DataFrame, group_by: list, key_columns: tuple) -> list:
+    """Key-column projection for group-scoped violations: keys in the
+    group carry their value, the rest are typed NULLs (same contract as
+    Contiguous/FunctionalDependency)."""
+    dtypes = dict(df.dtypes)
+    return [
+        (F.col(k) if k in group_by else F.lit(None).cast(dtypes.get(k, "string"))).alias(k)
+        for k in key_columns
+    ]
+
+
+def run_sequence_pattern(
+    df: DataFrame, c: SequencePattern, key_columns: tuple
+) -> DataFrame:
+    """Per-group ordered sequence vs regex: collect (order_by..., value)
+    tuples, sort_array for a total in-group order (ties broken by the
+    value itself), join with the separator, regex once per GROUP.
+    collect_list keeps NULL values only inside the ordering struct;
+    they are filtered before the join — matching SQL string_agg. No
+    window, no per-row regex. Single-check facade over
+    run_group_scope_checks (suites fuse same-group_by checks there)."""
+    return run_group_scope_checks(df, [c], key_columns)
+
+
+def run_group_agg_bounds(
+    df: DataFrame, c: GroupAggBounds, key_columns: tuple
+) -> DataFrame:
+    """Per-group statistic bound; out-of-bounds groups become
+    group-scoped violation rows (bounded by #groups). NULL statistic
+    => vacuous pass (all-NULL group). Single-check facade over
+    run_group_scope_checks."""
+    return run_group_scope_checks(df, [c], key_columns)
+
+
+def _seq_agg_expr(c: SequencePattern) -> Column:
+    ob = [F.col(x) for x in c.order_by]
+    return F.array_join(
+        F.filter(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(*ob, F.col(c.column).alias("_v")))
+                ),
+                lambda s: s["_v"],
+            ),
+            lambda v: v.isNotNull(),
+        ),
+        c.separator,
+    )
+
+
+def _group_bounds_expr(c: GroupAggBounds) -> Column:
+    return _AGG_FNS[c.agg](F.col(c.column)).cast("double")
+
+
+def run_group_scope_checks(
+    df: DataFrame, checks: list, key_columns: tuple
+) -> DataFrame:
+    """ALL group-scoped checks sharing ONE group_by (SequencePattern +
+    GroupAggBounds) in a single hash aggregation — k checks on the same
+    key cost one shuffle, not k. Per-group violations are assembled as
+    one array of failure structs and exploded (one subtree): emitting
+    one DataFrame per check and unioning would look shared in Python
+    but Catalyst optimizes each Union branch independently, duplicating
+    the aggregation per check (same trap as the fused ordered pass)."""
+    g = list(checks[0].group_by)
+    needed: list[str] = list(g)
+    for c in checks:
+        if isinstance(c, SequencePattern):
+            needed += [*c.order_by, c.column]
+        else:
+            needed.append(c.column)
+    slim = df.select(*dict.fromkeys(needed))
+
+    aggs = []
+    for i, c in enumerate(checks):
+        expr = _seq_agg_expr(c) if isinstance(c, SequencePattern) else _group_bounds_expr(c)
+        aggs.append(expr.alias(f"_s{i}"))
+    agg = slim.groupBy(*g).agg(*aggs)
+
+    structs = []
+    for i, c in enumerate(checks):
+        s = F.col(f"_s{i}")
+        if isinstance(c, SequencePattern):
+            bad = ~s.rlike(c.regex)
+            value = F.substring(s, 1, c.max_value_len)
+        else:
+            ok = F.lit(True)
+            if c.min is not None:
+                ok = ok & (s >= F.lit(float(c.min)))
+            if c.max is not None:
+                ok = ok & (s <= F.lit(float(c.max)))
+            bad = ~F.coalesce(ok, F.lit(True))
+            value = s.cast("string")
+        structs.append(
+            F.when(
+                bad,
+                F.struct(
+                    F.lit(check_id(c)).alias("check"),
+                    F.lit(c.column).cast("string").alias("column"),
+                    value.alias("value"),
+                ),
+            )
+        )
+    exploded = agg.select(
+        *g, F.explode(F.array_compact(F.array(*structs))).alias("_f")
+    )
+    return exploded.select(
+        *_group_scope_select(df, g, key_columns),
+        F.col("_f.check").alias("check"),
+        F.col("_f.column").alias("column"),
+        F.col("_f.value").alias("value"),
     )
 
 

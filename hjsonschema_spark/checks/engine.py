@@ -24,10 +24,12 @@ from hjsonschema_spark.checks.ir import (
     ConfigInvalid,
     Contiguous,
     FunctionalDependency,
+    GroupAggBounds,
     Monotonic,
     NullRateMax,
     RefIntegrity,
     RowCheck,
+    SequencePattern,
     SuiteRegistry,
     TableCheck,
     UniqueKey,
@@ -460,7 +462,10 @@ def run_suite(
         elif mode != "off":
             slim = slim.persist()
             persisted.append(slim)
-    viols = [_row_violations(slim, keys)]
+    # an aggregate-only suite (no row checks) must not pay a row-pass
+    # scan in the violations plan: size([]) > 0 is always false but
+    # Catalyst does not fold the scan away, so skip the branch outright
+    viols = [_row_violations(slim, keys)] if row_checks else []
     verdicts = [_partition_verdicts(slim)]
 
     # every NullRateMax + AggBounds folds into ONE lazy aggregation pass
@@ -500,6 +505,20 @@ def run_suite(
     table_checks, fused_viols = _fuse_ordered_checks(df, table_checks, keys)
     viols.extend(fused_viols)
 
+    # group-scoped checks (SequencePattern + GroupAggBounds) sharing a
+    # group_by fuse into ONE hash aggregation — k checks, one shuffle
+    group_scope = [
+        c for c in table_checks if isinstance(c, (SequencePattern, GroupAggBounds))
+    ]
+    table_checks = [
+        c for c in table_checks if not isinstance(c, (SequencePattern, GroupAggBounds))
+    ]
+    by_group: dict[tuple, list] = {}
+    for c in group_scope:
+        by_group.setdefault(tuple(c.group_by), []).append(c)
+    for cs in by_group.values():
+        viols.append(C.run_group_scope_checks(df, cs, keys))
+
     for c in table_checks:
         if isinstance(c, UniqueKey):
             v = C.run_unique_key(df, c, keys)
@@ -518,6 +537,14 @@ def run_suite(
             raise ConfigInvalid(f"unsupported table check {type(c).__name__}")
         viols.append(v)
 
+    if not viols:
+        # no violation-producing checks at all: empty frame, right schema
+        dtypes = dict(df.dtypes)
+        schema = ", ".join(
+            [f"`{k}` {dtypes.get(k, 'string')}" for k in keys]
+            + [f"{c} string" for c in _VIOL_TAIL]
+        )
+        viols = [df.sparkSession.createDataFrame([], schema)]
     all_viols = viols[0]
     for v in viols[1:]:
         all_viols = all_viols.unionByName(v)

@@ -653,6 +653,90 @@ class FunctionalDependency(TableCheck):
 
 @_register
 @dataclass(frozen=True)
+class SequencePattern(TableCheck):
+    """Per-group ORDERED value sequence must match a regex — `pattern`
+    (String.hs:37-53) lifted from one string to a conversation's shape:
+    concatenate `column` per `group_by` group in `order_by` order with
+    `separator`, then apply the regex. The transcript-native check the
+    whole engine exists for: "roles must go system? then (user,
+    assistant|tool)*", "no purchase event before signup", etc.
+
+    Draft-4 pattern semantics kept: UNANCHORED search (anchor with ^$
+    yourself), violation when the regex does NOT match. NULL values do
+    not contribute a token (collect_list and the SQL string_agg oracle
+    both skip NULLs — the reference's NULL => vacuous element rule).
+    Keep regexes in the Java/RE2 common subset for oracle parity.
+
+    Scale shape: ONE hash aggregation on group_by (collect_list is not
+    partial-agg-friendly, but the shuffled payload is one value+order
+    tuple per row — same order of bytes as any per-group sort); the
+    regex runs once per GROUP, not per row. Violations are group-scoped
+    (other key columns NULL), value = the sequence truncated to
+    `max_value_len`. Ordering inside a group is made total by
+    tie-breaking on the value itself (sort_array over
+    struct(order_by..., value)); give a total order_by for stable
+    sequences.
+    """
+    kind: ClassVar[str] = "sequence_pattern"
+    column: str = ""
+    group_by: tuple = ()
+    order_by: tuple = ()
+    regex: str = ""
+    separator: str = ","
+    max_value_len: int = 256
+
+    def validate_config(self):
+        if not self.column or not self.group_by or not self.order_by:
+            raise ConfigInvalid(
+                "sequence_pattern: column, group_by, order_by must be set"
+            )
+        if not self.regex:
+            raise ConfigInvalid("sequence_pattern: regex must be set")
+        import re as _re
+
+        try:
+            _re.compile(self.regex)
+        except _re.error as e:
+            raise ConfigInvalid(f"sequence_pattern: bad regex: {e}")
+        if self.max_value_len <= 0:
+            raise ConfigInvalid("sequence_pattern: max_value_len must be positive")
+
+
+@_register
+@dataclass(frozen=True)
+class GroupAggBounds(TableCheck):
+    """Per-GROUP aggregate bound: agg(column) within [min, max] for
+    every group — AggBounds sharded by group_by ("every conversation
+    has <= 4096 turns", "per-conversation token sum <= budget").
+    `maximum`/`minimum` (Number.hs:49-83) lifted to group statistics.
+
+    One hash aggregation (map-side partial for all supported aggs);
+    violations are GROUP-scoped rows (bounded by #groups), value = the
+    offending statistic. NULL statistic (all-NULL group) => vacuous
+    pass, the reference's type-mismatch rule (Draft4.hs:28-33).
+    """
+    kind: ClassVar[str] = "group_agg_bounds"
+    column: str = ""
+    agg: str = "count"  # avg | min | max | sum | count | count_distinct | stddev
+    group_by: tuple = ()
+    min: float | None = None
+    max: float | None = None
+
+    _AGGS = ("avg", "min", "max", "sum", "count", "count_distinct", "stddev")
+
+    def validate_config(self):
+        if not self.column or not self.group_by:
+            raise ConfigInvalid("group_agg_bounds: column and group_by must be set")
+        if self.agg not in self._AGGS:
+            raise ConfigInvalid(f"group_agg_bounds: agg must be one of {self._AGGS}")
+        if self.min is None and self.max is None:
+            raise ConfigInvalid("group_agg_bounds: at least one of min/max must be set")
+        if self.min is not None and self.max is not None and self.min > self.max:
+            raise ConfigInvalid("group_agg_bounds: min must be <= max")
+
+
+@_register
+@dataclass(frozen=True)
 class NullRateMax(TableCheck):
     """Aggregate-level null-rate bound on a column."""
     kind: ClassVar[str] = "null_rate_max"

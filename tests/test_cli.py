@@ -99,6 +99,32 @@ def test_validate_finds_violations_and_writes_outputs(table_path, suite_file, tm
     assert verd.filter("scope = 'check'").count() >= 3  # required+enum+unique
 
 
+def test_validate_quarantine_outputs(table_path, suite_file, tmp_path, spark):
+    """--quarantine writes clean/ + quarantine/: together they cover the
+    input, clean rows keep the input schema, quarantined rows carry
+    failure structs."""
+    out = str(tmp_path / "outq")
+    proc = _run_cli(
+        "validate",
+        "--table", table_path,
+        "--suite", suite_file,
+        "--out", out,
+        "--quarantine",
+        "--cores", "4",
+        cwd=tmp_path,
+    )
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    src = spark.read.parquet(table_path)
+    clean = spark.read.parquet(os.path.join(out, "clean"))
+    quar = spark.read.parquet(os.path.join(out, "quarantine"))
+    assert set(clean.columns) == set(src.columns)
+    assert set(quar.columns) == set(src.columns) | {"_failures"}
+    assert 0 < clean.count() < src.count()
+    assert quar.count() > 0
+    # quarantined rows genuinely failed a row check
+    assert quar.filter("size(_failures) = 0").count() == 0
+
+
 def test_validate_from_draft4_schema(table_path, tmp_path):
     """--schema: a raw draft-4 document compiled by suite_from_schema,
     self-validated against the meta-schema before any data is read."""

@@ -796,3 +796,107 @@ def test_clean_rows_group_scope_violations_do_not_quarantine(spark):
     res = run_suite(df, suite)
     assert res.violations.count() == 1  # the c1 group row
     assert res.clean_rows(strict=True).count() == 3  # no row-level quarantine
+
+
+# ---------------------------------------------------------------------------
+# SequencePattern / GroupAggBounds (conversation-shape checks)
+# ---------------------------------------------------------------------------
+
+def test_sequence_pattern_role_alternation(spark):
+    """The transcript-native check: per-conversation ordered role
+    sequence must match system? (user (assistant|tool))*."""
+    from hjsonschema_spark.checks import SequencePattern
+
+    rows = [
+        ("good", 0, "system"), ("good", 1, "user"), ("good", 2, "assistant"),
+        ("bad", 0, "user"), ("bad", 1, "user"),          # double user
+        ("tooly", 0, "user"), ("tooly", 1, "tool"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    suite = _suite(
+        SequencePattern(
+            column="role",
+            group_by=("conv_id",),
+            order_by=("turn_idx",),
+            regex="^(system,)?(user,(assistant|tool))(,user,(assistant|tool))*$",
+        )
+    )
+    res = run_suite(df, suite)
+    viol = res.violations.collect()
+    assert {r["conv_id"] for r in viol} == {"bad"}
+    [v] = viol
+    assert v["value"] == "user,user"
+    assert v["turn_idx"] is None  # group-scoped: non-group keys are NULL
+
+
+def test_sequence_pattern_null_values_skipped_and_ordering(spark):
+    from hjsonschema_spark.checks import SequencePattern
+
+    rows = [("c", 2, "b"), ("c", 1, "a"), ("c", 3, None)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    # NULL contributes no token; order_by sorts 1,2 => "a,b"
+    res = run_suite(
+        df,
+        _suite(
+            SequencePattern(
+                column="role", group_by=("conv_id",), order_by=("turn_idx",),
+                regex="^a,b,c$",
+            )
+        ),
+    )
+    [v] = res.violations.collect()
+    assert v["value"] == "a,b"
+
+
+def test_sequence_pattern_truncation_and_config(spark):
+    from hjsonschema_spark.checks import SequencePattern
+
+    with pytest.raises(ConfigInvalid):
+        SequencePattern(column="r", group_by=("c",), order_by=("t",), regex="(").validate_config()
+    with pytest.raises(ConfigInvalid):
+        SequencePattern(column="r", group_by=("c",), order_by=("t",), regex="").validate_config()
+    rows = [("c", i, "x") for i in range(10)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    res = run_suite(
+        df,
+        _suite(
+            SequencePattern(
+                column="role", group_by=("conv_id",), order_by=("turn_idx",),
+                regex="^never$", max_value_len=5,
+            )
+        ),
+    )
+    [v] = res.violations.collect()
+    assert v["value"] == "x,x,x"  # truncated to 5 chars
+
+
+def test_group_agg_bounds_violations_and_vacuous(spark):
+    from hjsonschema_spark.checks import GroupAggBounds
+
+    rows = [("c1", 0, 1.0), ("c1", 1, 2.0), ("c2", 0, 50.0), ("c3", 0, None)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, v double")
+    suite = _suite(
+        GroupAggBounds(column="v", agg="sum", group_by=("conv_id",), max=10.0),
+        GroupAggBounds(column="turn_idx", agg="count", group_by=("conv_id",), min=1.0, max=1.0),
+    )
+    res = run_suite(df, suite)
+    got = {(r["conv_id"], r["check"]) for r in res.violations.collect()}
+    # c2 sum=50 > 10; c3 all-NULL sum => vacuous pass; c1 has 2 turns
+    assert got == {
+        ("c2", "group_agg_bounds:sum(v) by conv_id"),
+        ("c1", "group_agg_bounds:count(turn_idx) by conv_id"),
+    }
+    # violations feed check-scope verdicts
+    vd = {r["check"]: r["passed"] for r in res.verdicts.filter("scope='check'").collect()}
+    assert vd["group_agg_bounds:sum(v) by conv_id"] is False
+
+
+def test_group_agg_bounds_config_validation():
+    from hjsonschema_spark.checks import GroupAggBounds
+
+    with pytest.raises(ConfigInvalid):
+        GroupAggBounds(column="v", agg="median", group_by=("c",), max=1.0).validate_config()
+    with pytest.raises(ConfigInvalid):
+        GroupAggBounds(column="v", agg="sum", group_by=(), max=1.0).validate_config()
+    with pytest.raises(ConfigInvalid):
+        GroupAggBounds(column="v", agg="sum", group_by=("c",)).validate_config()

@@ -149,3 +149,16 @@ def test_pack_sequences_one_exchange(spark):
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n == 1, f"expected 1 exchange, saw {n}"
     assert len(re.findall(r"hashpartitioning\(bucket", plan)) >= 1
+
+
+def test_group_scope_checks_share_one_aggregation(spark):
+    """SequencePattern + GroupAggBounds on the same group_by fuse into
+    ONE hash aggregation subtree: one exchange on user_id, one scan —
+    per-check DataFrames + union would duplicate both per branch."""
+    import __spark_entry__ as E
+
+    plan = _formatted_plan(E.queries()["conversation_checks_events"](spark, SF))
+    n = len(re.findall(r"Arguments: hashpartitioning\(user_id", plan))
+    assert n == 1, f"expected 1 shared hash exchange on user_id, saw {n}:\n{plan}"
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected 1 input scan, saw {scans}"

@@ -122,3 +122,33 @@ def test_new_table_checks_round_trip_json():
     )
     again = CheckSuite.from_json(suite.to_json())
     assert again == suite
+
+
+def test_group_scope_checks_round_trip_json():
+    """SequencePattern and GroupAggBounds survive to_json/from_json."""
+    from hjsonschema_spark.checks.ir import (
+        CheckSuite,
+        GroupAggBounds,
+        SequencePattern,
+    )
+
+    suite = CheckSuite(
+        name="rt2",
+        key_columns=("conv_id", "turn_idx"),
+        checks=(
+            SequencePattern(
+                column="role",
+                group_by=("conv_id",),
+                order_by=("turn_idx", "ts"),
+                regex="^(system,)?(user,assistant)+$",
+                separator="|",
+                max_value_len=64,
+            ),
+            GroupAggBounds(
+                column="turn_idx", agg="count", group_by=("conv_id",), max=4096.0
+            ),
+        ),
+    )
+    suite.validate_config()
+    again = CheckSuite.from_json(suite.to_json())
+    assert again == suite
