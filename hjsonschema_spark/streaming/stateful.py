@@ -83,11 +83,18 @@ STATE_SCHEMA = StructType(
 _COLS = [f.name for f in VIOLATION_SCHEMA.fields]
 
 
-def _ordered_state_fn(state_ttl_ms: int | None, event_ttl_ms: int | None = None):
+def _ordered_state_fn(
+    state_ttl_ms: int | None,
+    event_ttl_ms: int | None = None,
+    max_turns: int | None = None,
+):
     """Build the applyInPandasWithState function. TTL closure:
     state_ttl_ms = processing-time TTL, event_ttl_ms = event-time TTL
     (timeout timestamp = last event ts + TTL, clamped above the
-    watermark as Spark requires), both None = NoTimeout."""
+    watermark as Spark requires), both None = NoTimeout. max_turns:
+    cross-batch conversation turn budget (GroupAggBounds' streaming
+    analogue) — every accepted turn beyond the budget emits a
+    ``stream_group_bounds`` violation (duplicates don't count)."""
 
     def fn(key: Tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
         conv_id = key[0]
@@ -142,6 +149,15 @@ def _ordered_state_fn(state_ttl_ms: int | None, event_ttl_ms: int | None = None)
                 if not ts_is_null:
                     last_ts = max(last_ts, cur_ts)
                 n_turns += 1
+                if max_turns is not None and n_turns > max_turns:
+                    out.append(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": cur,
+                            "check": "stream_group_bounds:n_turns",
+                            "value": f"n={n_turns}>max={max_turns}",
+                        }
+                    )
 
         state.update((max_idx, last_ts, n_turns))
         if state_ttl_ms is not None:
@@ -163,6 +179,7 @@ def ordered_state_stream(
     state_ttl_minutes: int | None = None,
     event_ttl_minutes: int | None = None,
     watermark_delay: str = "10 minutes",
+    max_turns: int | None = None,
 ) -> DataFrame:
     """Cross-batch ordered checks over a transcript stream.
 
@@ -180,6 +197,10 @@ def ordered_state_stream(
       first turn is expected at index 0).
     - ``stream_monotonic`` — ts earlier than the conversation's
       latest ts seen so far.
+    - ``stream_group_bounds`` (opt-in via ``max_turns``) — the
+      conversation's accepted-turn count crossed the budget, counted
+      ACROSS batches and runs (duplicates don't count); the streaming
+      analogue of GroupAggBounds(agg="count").
 
     AvailableNow catch-up runs compose: run 1 processes a
     conversation's first half, run 2 its second, and a duplicate in
@@ -204,12 +225,14 @@ def ordered_state_stream(
         F.col("ts").cast("timestamp"),
     ).filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     if state_ttl_minutes is not None:
-        mode, fn = "ProcessingTimeTimeout", _ordered_state_fn(state_ttl_minutes * 60_000)
+        mode = "ProcessingTimeTimeout"
+        fn = _ordered_state_fn(state_ttl_minutes * 60_000, max_turns=max_turns)
     elif event_ttl_minutes is not None:
-        mode, fn = "EventTimeTimeout", _ordered_state_fn(None, event_ttl_minutes * 60_000)
+        mode = "EventTimeTimeout"
+        fn = _ordered_state_fn(None, event_ttl_minutes * 60_000, max_turns=max_turns)
         prepared = prepared.withWatermark("ts", watermark_delay)
     else:
-        mode, fn = "NoTimeout", _ordered_state_fn(None)
+        mode, fn = "NoTimeout", _ordered_state_fn(None, max_turns=max_turns)
     return prepared.groupBy("conv_id").applyInPandasWithState(
         fn, VIOLATION_SCHEMA, STATE_SCHEMA, "append", mode
     )
@@ -222,6 +245,7 @@ def run_ordered_state(
     state_ttl_minutes: int | None = None,
     event_ttl_minutes: int | None = None,
     watermark_delay: str = "10 minutes",
+    max_turns: int | None = None,
 ):
     """Run ordered_state_stream to AvailableNow completion, appending
     violations to ``out_path``. Returns the finished StreamingQuery.
@@ -235,7 +259,10 @@ def run_ordered_state(
         )
     q = (
         ordered_state_stream(
-            stream, event_ttl_minutes=event_ttl_minutes, watermark_delay=watermark_delay
+            stream,
+            event_ttl_minutes=event_ttl_minutes,
+            watermark_delay=watermark_delay,
+            max_turns=max_turns,
         )
         .writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

@@ -228,3 +228,36 @@ def test_session_window_agrees_with_batch_sessionize(spark, tmp_path):
         ("A", _mins(51)): 2,
         ("B", _mins(0)): 2,
     }
+
+
+def test_stream_turn_budget_across_runs(spark, tmp_path):
+    """max_turns counts accepted turns ACROSS AvailableNow runs:
+    a conversation under budget in run 1 crosses it in run 2;
+    duplicates do not consume budget."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: A has 4 turns (budget 6), B has 2
+    _write(spark, [("A", i, _mins(i)) for i in range(4)]
+           + [("B", i, _mins(i)) for i in range(2)], inp)
+    stream = spark.readStream.schema(DDL).parquet(inp)
+    run_ordered_state(stream, out, ckpt, max_turns=6)
+    assert (
+        spark.read.schema(VIOL_DDL).parquet(out)
+        .filter("check = 'stream_group_bounds:n_turns'").count() == 0
+    )
+
+    # run 2: A gets 4 more (turns 4..7 => counts 5..8, two over budget)
+    # plus a duplicate of turn 0 (doesn't count); B stays under
+    _write(spark, [("A", i, _mins(i)) for i in (4, 5, 6, 7)]
+           + [("A", 0, _mins(0))] + [("B", 2, _mins(2))], inp)
+    stream = spark.readStream.schema(DDL).parquet(inp)
+    run_ordered_state(stream, out, ckpt, max_turns=6)
+
+    viol = (
+        spark.read.schema(VIOL_DDL).parquet(out)
+        .filter("check = 'stream_group_bounds:n_turns'").collect()
+    )
+    got = {(r["conv_id"], r["turn_idx"]): r["value"] for r in viol}
+    assert got == {("A", 6): "n=7>max=6", ("A", 7): "n=8>max=6"}
