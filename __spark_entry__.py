@@ -267,6 +267,36 @@ def _ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _minhash_lsh_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MinHash-LSH pipeline as `minhash_lsh_documents` run on
+    the portable md5 hash family (functions.portable_hash60) instead of
+    xxhash64 — every stage (shingle→64 permutation mins→band keys→
+    bucket join→agreement estimate) is replicated in the DuckDB oracle,
+    so the driver hash-verifies the LSH ALGORITHM end-to-end; the
+    production entry keeps the faster engine-native hash and stays
+    rows-only."""
+    out = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.2,
+        hash_mode="md5",
+    )
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _simhash_columnar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar (zero-UDF, md5-hash) SimHash near-dup pairs — the
+    oracle-checkable twin of `simhash_documents` (which uses the
+    Arrow-UDF FNV signatures). 60-bit signatures, 4 bands of 15 bits
+    for max_hamming=3."""
+    out = dedup.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=3, engine="columnar"
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 def _token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -383,13 +413,111 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         lambda x, i: x + 0.02 * F.sin(F.col("vec_id") * 13 + i.cast("double")),
     ).cast("array<float>")
-    planted = emb.filter(F.col("vec_id") < 40).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), noisy.alias("embedding")
+    # noise before the id-shift (separate selects): in one select the
+    # lambda's `vec_id` resolves laterally to the `vec_id + 100000`
+    # sibling alias — see _embedding_near_dup_planes
+    planted = (
+        emb.filter(F.col("vec_id") < 40)
+        .select("vec_id", noisy.alias("embedding"))
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
     out = dedup.embedding_near_duplicates(
         emb.unionByName(planted), min_cosine=0.95, bands=8, planes_per_band=8
     )
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r"))
+
+
+def _portable_planes(seed: int, n: int, dim: int) -> list:
+    """Deterministic hyperplane matrix from md5 — components
+    (md5_60bit(f"{seed},{p},{d}") % 2000001 - 1000000) / 1e6 in (-1, 1).
+    Generated driver-side and embedded as LITERALS in both the Spark
+    plan and the DuckDB oracle, so the two engines share bit-identical
+    projection constants."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(hashlib.md5(f"{seed},{p},{d}".encode()).hexdigest()[:15], 16)
+                % 2000001
+                - 1000000
+            )
+            / 1e6
+            for d in range(dim)
+        ]
+        for p in range(n)
+    ]
+
+
+def _embedding_near_dup_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of `embedding_near_dup`: explicit literal
+    hyperplanes (same values embedded in the DuckDB SQL), double
+    arithmetic end-to-end, and EXACT-RATIONAL planted noise
+    (((vec_id*13 + i*7) % 17 - 8) / 400 — integer ops + one correctly-
+    rounded division, no libm sin) so every stage of the LSH candidate
+    generation + exact-cosine verification hash-compares across
+    engines. Plants a perturbed copy (cosine ~0.994) of each vec_id<40
+    at vec_id+100000; the pipeline must return exactly those pairs."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    noisy = F.transform(
+        "embedding",
+        lambda x, i: x
+        + ((F.col("vec_id") * 13 + i.cast("long") * 7) % 17 - 8) / F.lit(400.0),
+    )
+    # noise FIRST, id-shift in a separate select: with both in one
+    # select, Spark resolves the lambda's `vec_id` laterally to the
+    # sibling alias (vec_id + 100000), silently changing the noise —
+    # measured: cosine(0, 100000) 0.99526 instead of the oracle's
+    # 0.99507
+    planted = (
+        emb.filter(F.col("vec_id") < 40)
+        .select("vec_id", noisy.alias("embedding"))
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    out = dedup.embedding_near_duplicates(
+        emb.unionByName(planted),
+        min_cosine=0.95,
+        bands=8,
+        planes_per_band=8,
+        dim=64,
+        planes=_portable_planes(42, 64, 64),
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _cosine_topk_lsh_planes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of `cosine_topk_lsh_embeddings`: literal
+    hyperplanes shared with the DuckDB SQL (bit-identical band
+    signatures and multi-probe candidate sets), double arithmetic, and
+    ranking on the ROUNDED cosine with vec_id tie-break — so rank
+    assignment is identical even where two candidates tie at 5
+    decimals. k asked of the operator is 'all candidates'; the entry
+    re-ranks after rounding (the operator's internal rank uses the
+    unrounded cosine, whose last-ulp engine noise could otherwise flip
+    equal-after-round neighbors)."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_lsh(
+        emb, queries, k=1 << 30, bands=4, planes_per_band=8, dim=64,
+        planes=_portable_planes(42, 32, 64),
+    )
+    scored = out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine_r"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
 
 
 def _cosine_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,10 +921,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bounds_lineitem": _agg_bounds_lineitem,
         "dedup_exact_documents": _dedup_exact_documents,
         "ngram_jaccard_documents": _ngram_jaccard_documents,
+        "minhash_lsh_md5_documents": _minhash_lsh_md5_documents,
+        "simhash_columnar_documents": _simhash_columnar_documents,
         "token_stats_documents": _token_stats_documents,
         "lang_id_documents": _lang_id_documents,
         "quality_documents": _quality_documents,
         "cosine_topk_embeddings": _cosine_topk_embeddings,
+        "embedding_near_dup_planes": _embedding_near_dup_planes,
+        "cosine_topk_lsh_planes_embeddings": _cosine_topk_lsh_planes_embeddings,
         "chi2_event_type": _chi2_event_type,
         "ks_value": _ks_value,
         "drift_suite_events": _drift_suite_events,
@@ -989,6 +1121,87 @@ SELECT id_a, id_b, round(n_common / (n_a + n_b - n_common), 6) AS jaccard
 FROM inter WHERE n_common / (n_a + n_b - n_common) >= 0.08
 """
 
+    # minhash_lsh_md5: the portable-hash LSH pipeline replicated stage
+    # by stage. 64 permutations x 16 bands of 4; band key = md5 of the
+    # comma-joined slice; est jaccard = signature agreement / 64 (all
+    # k/64 values are exact in double, so round(,6) is a no-op on both
+    # engines and the driver's value hash compares bit-identical floats)
+    sql["minhash_lsh_md5_documents"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3
+              THEN list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                  for i in generate_series(1, len(ts) - 2)])
+              ELSE [array_to_string(ts, ' ')]
+         END AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+bs AS (SELECT doc_id, substr(md5(shingle), 1, 16) AS b FROM ex),
+mins AS (
+  SELECT doc_id, g.i,
+         min(('0x' || substr(md5(g.i::VARCHAR || ':' || b), 1, 15))::BIGINT) AS mh
+  FROM bs CROSS JOIN generate_series(0, 63) AS g(i)
+  GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(mh ORDER BY i) AS s FROM mins GROUP BY 1),
+bands AS (
+  SELECT doc_id, g.bb AS band_idx,
+         md5(array_to_string(list_transform(s[g.bb*4+1 : g.bb*4+4],
+                                            x -> x::VARCHAR), ',')) AS bh
+  FROM sig CROSS JOIN generate_series(0, 15) AS g(bb)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 ON a.band_idx = b2.band_idx AND a.bh = b2.bh
+  WHERE a.doc_id < b2.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         list_sum([CASE WHEN sa.s[i] = sb.s[i] THEN 1 ELSE 0 END
+                   for i in generate_series(1, 64)]) / 64.0 AS e
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.2
+ORDER BY id_a, id_b
+"""
+
+    # simhash_columnar: 60 per-bit +/-1 sums -> sign bits -> 60-bit
+    # signature; 4 bands of 15 bits; hamming via bit_count(xor). The 60
+    # aggregate terms are generated, not hand-written.
+    _sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(60)
+    )
+    _sig = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END" for b in range(60)
+    )
+    sql["simhash_columnar_documents"] = f"""
+WITH toks AS ({_TOKS_CTE}),
+tk AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+bits AS (SELECT doc_id, {_sums} FROM hh GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id, coalesce({_sig}, 0::BIGINT) AS sh
+  FROM documents d LEFT JOIN bits USING (doc_id)
+),
+ch AS (
+  SELECT doc_id, g.cb, (sh >> (g.cb * 15)) & 32767 AS chunk
+  FROM sig CROSS JOIN generate_series(0, 3) AS g(cb)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM ch a JOIN ch b2 ON a.cb = b2.cb AND a.chunk = b2.chunk
+  WHERE a.doc_id < b2.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b, bit_count(xor(sa.sh, sb.sh))::INTEGER AS hamming
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
+
     sql["token_stats_documents"] = rf"""
 WITH toks AS ({_TOKS_CTE})
 SELECT d.doc_id, len(t.ts) AS n_tokens,
@@ -1058,6 +1271,107 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 5
+"""
+
+    # embedding_near_dup_planes: literal hyperplanes (same constants as
+    # the Spark plan), double arithmetic end-to-end, exact-rational
+    # planted noise. Dot folds replicate Spark's aggregate(0.0, +)
+    # via list_reduce(list_prepend(0.0, ...)) — ascending d, same
+    # association — so band signatures are bit-identical; the final
+    # cosine bridges engines through round(,5) like cosine_topk does.
+    _planes = _portable_planes(42, 64, 64)
+    _values = ",\n    ".join(
+        f"({p}, [{', '.join(repr(c) for c in row)}]::DOUBLE[])"
+        for p, row in enumerate(_planes)
+    )
+    sql["embedding_near_dup_planes"] = f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pl AS (
+  SELECT [v[i+1] + ((vec_id*13 + i*7) % 17 - 8) / 400.0
+          for i in generate_series(0, 63)] AS v2,
+         vec_id + 100000 AS new_id
+  FROM e0 WHERE vec_id < 40
+),
+e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT new_id AS vec_id, v2 AS v FROM pl),
+planes(p, w) AS (VALUES
+    {_values}),
+dots AS (
+  SELECT e.vec_id, planes.p,
+         list_reduce(list_prepend(0.0, [e.v[d+1] * planes.w[d+1]
+                                        for d in generate_series(0, 63)]),
+                     (a, b) -> a + b) AS dp
+  FROM e CROSS JOIN planes
+),
+bsig AS (
+  SELECT vec_id, p // 8 AS band_idx,
+         list_reduce(list_prepend(0, list(CASE WHEN dp >= 0 THEN 1 ELSE 0 END ORDER BY p)),
+                     (a, b) -> a * 2 + b) AS band_sig
+  FROM dots GROUP BY vec_id, p // 8
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM bsig a JOIN bsig b2 ON a.band_idx = b2.band_idx AND a.band_sig = b2.band_sig
+  WHERE a.vec_id < b2.vec_id
+),
+cos AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(va.v, vb.v)
+           / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) AS cosine
+  FROM cand c JOIN e va ON va.vec_id = c.id_a JOIN e vb ON vb.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 5) AS cosine_r FROM cos WHERE cosine >= 0.95
+ORDER BY id_a, id_b
+"""
+
+    # cosine_topk_lsh_planes: same literal-planes trick for the ANN
+    # search path — band sigs + 1-bit multi-probe flips + exact scoring
+    # of candidates, ranked on the rounded cosine (vec_id tie-break)
+    _planes32 = _portable_planes(42, 32, 64)
+    _values32 = ",\n    ".join(
+        f"({p}, [{', '.join(repr(c) for c in row)}]::DOUBLE[])"
+        for p, row in enumerate(_planes32)
+    )
+    sql["cosine_topk_lsh_planes_embeddings"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(p, w) AS (VALUES
+    {_values32}),
+dots AS (
+  SELECT e.vec_id, planes.p,
+         list_reduce(list_prepend(0.0, [e.v[d+1] * planes.w[d+1]
+                                        for d in generate_series(0, 63)]),
+                     (a, b) -> a + b) AS dp
+  FROM e CROSS JOIN planes
+),
+bsig AS (
+  SELECT vec_id, p // 8 AS band_idx,
+         list_reduce(list_prepend(0, list(CASE WHEN dp >= 0 THEN 1 ELSE 0 END ORDER BY p)),
+                     (a, b) -> a * 2 + b) AS band_sig
+  FROM dots GROUP BY vec_id, p // 8
+),
+probes AS (
+  SELECT DISTINCT query_id, band_idx, band_sig FROM (
+    SELECT vec_id AS query_id, band_idx,
+           unnest([band_sig] || [xor(band_sig, 1 << j) for j in generate_series(0, 7)]) AS band_sig
+    FROM bsig WHERE vec_id < 3
+  )
+),
+cand AS (
+  SELECT DISTINCT pr.query_id, c.vec_id
+  FROM bsig c JOIN probes pr ON c.band_idx = pr.band_idx AND c.band_sig = pr.band_sig
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_dot_product(cv.v, qv.v)
+               / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 5) AS cosine_r
+  FROM cand JOIN e cv ON cv.vec_id = cand.vec_id JOIN e qv ON qv.vec_id = cand.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
 """
 
     sql["chi2_event_type"] = """

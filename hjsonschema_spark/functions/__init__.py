@@ -8,6 +8,7 @@ from hjsonschema_spark.functions.columns import (  # noqa: F401
     fan_out,
     l2_norm,
     normalize_text,
+    portable_hash60,
     token_shingles,
     tokens,
 )

@@ -33,6 +33,19 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def portable_hash60(col: Column) -> Column:
+    """Non-negative 60-bit hash both engines compute bit-identically:
+    the first 15 hex chars of md5, as a BIGINT.
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+
+    The md5 path costs ~3x xxhash64, so production dedup keeps
+    xxhash64; this hash exists so the SAME LSH algorithms can run in
+    an oracle-checkable mode (driver hash-compares Spark vs DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def tokens(col: Column) -> Column:
     """Whitespace/punctuation tokenization, lowercased, empties removed.
     SQL equivalent uses the same regex split."""
@@ -96,7 +109,12 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 
 
 def hyperplane_band_sketches(
-    vec: Column, dim: int, bands: int, planes_per_band: int, seed: int = 42
+    vec: Column,
+    dim: int,
+    bands: int,
+    planes_per_band: int,
+    seed: int = 42,
+    planes: list | None = None,
 ) -> Column:
     """Array of `bands` sign-LSH band signatures (each a long built
     from `planes_per_band` hyperplane sign bits). Plane components are
@@ -109,26 +127,51 @@ def hyperplane_band_sketches(
     P(candidate) = 1 - (1 - p^r)^B. Bucket count per band is 2^r times
     the hash spread of the corpus, so candidate sets keep shrinking as
     the corpus grows — a single fixed-width sketch (one band) caps the
-    bucket count and degenerates to near-quadratic at 1e9+ vectors."""
+    bucket count and degenerates to near-quadratic at 1e9+ vectors.
+
+    ``planes`` (optional): an explicit bands*planes_per_band x dim
+    projection matrix, overriding the hash-derived components — for
+    user-trained projections, and for the driver oracle (literal plane
+    values embed identically in a DuckDB SQL twin; the fold order here
+    — 0.0 + x1 + x2 + ... ascending d — is replicated there with
+    list_reduce(list_prepend(0.0, ...)), so dots are bit-identical)."""
     n = bands * planes_per_band
-    dots = F.transform(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: (
-                        F.pmod(F.xxhash64(F.lit(seed), p, d), F.lit(2000001)) - 1000000
-                    ).cast("double")
-                    / 1000000.0,
+    if planes is not None:
+        assert len(planes) == n and all(len(r) == dim for r in planes)
+        planes_lit = F.array(
+            *[F.array(*[F.lit(float(c)) for c in row]) for row in planes]
+        )
+        dots = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda p: F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.element_at(planes_lit, (p + 1).cast("int")),
+                    lambda x, pl: x * pl,
                 ),
-                lambda x, pl: x * pl,
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+        )
+    else:
+        dots = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda p: F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda d: (
+                            F.pmod(F.xxhash64(F.lit(seed), p, d), F.lit(2000001)) - 1000000
+                        ).cast("double")
+                        / 1000000.0,
+                    ),
+                    lambda x, pl: x * pl,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
     bits = F.transform(
         dots, lambda t: F.when(t >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
     )

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hjsonschema_spark.functions import doc_fingerprint, fan_out, token_shingles
+from hjsonschema_spark.functions import doc_fingerprint, fan_out, token_shingles, tokens
 from hjsonschema_spark.functions.columns import exploded_shingles
 
 _MERSENNE = (1 << 61) - 1
@@ -63,6 +63,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature: array<bigint>) — zero UDFs.
 
@@ -71,14 +72,28 @@ def minhash_signatures(
     aggregation is partial (map-side) so the shuffle carries only
     #docs x num_hashes longs; the expensive string hashing happens
     exactly once per shingle (a nested transform-per-permutation
-    formulation rehashes every string num_hashes times)."""
+    formulation rehashes every string num_hashes times).
+
+    hash_mode: 'xxhash64' (production — fastest) or 'md5' (the
+    ``portable_hash60`` family: per-permutation hash =
+    hash60(f"{i}:" + substr(md5(shingle),1,16)), computable
+    bit-identically in DuckDB so the WHOLE LSH pipeline gets a SQL
+    oracle; ~3x hash cost, same plan shape)."""
+    from hjsonschema_spark.functions import portable_hash60
+
     df = fan_out(df)
-    ex = exploded_shingles(df, id_col, text_col, k=shingle_k).select(
-        F.col(id_col), F.xxhash64("shingle", F.lit(seed)).alias("_h")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
-    ]
+    ex = exploded_shingles(df, id_col, text_col, k=shingle_k)
+    if hash_mode == "md5":
+        ex = ex.select(F.col(id_col), F.substring(F.md5("shingle"), 1, 16).alias("_b"))
+        aggs = [
+            F.min(portable_hash60(F.concat(F.lit(f"{i}:"), F.col("_b")))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        ex = ex.select(F.col(id_col), F.xxhash64("shingle", F.lit(seed)).alias("_h"))
+        aggs = [
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
+        ]
     wide = ex.groupBy(id_col).agg(*aggs)
     return wide.select(
         F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
@@ -95,6 +110,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket: int = 1000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding, with
     the estimated jaccard (signature agreement rate) >= threshold.
@@ -102,13 +118,24 @@ def minhash_lsh_pairs(
     Plan shape: scan+signatures (no shuffle) → explode bands (xB rows)
     → shuffle on band hash → within-bucket self-join (bounded by
     max_bucket) → estimate + filter → distinct pairs.
+
+    hash_mode='md5' runs the identical algorithm on the portable md5
+    hash family (band key = md5 of the comma-joined band slice) — the
+    DuckDB-oracle-checkable mode; see ``minhash_signatures``.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    band_hash = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice("signature", b * rows + 1, rows), lambda v: v.cast("string"))), b),
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed, hash_mode)
+    joined = lambda b: F.concat_ws(  # noqa: E731
+        ",", F.transform(F.slice("signature", b * rows + 1, rows), lambda v: v.cast("string"))
     )
+    if hash_mode == "md5":
+        band_hash = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)), lambda b: F.md5(joined(b))
+        )
+    else:
+        band_hash = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)), lambda b: F.xxhash64(joined(b), b)
+        )
     banded = sigs.select(
         id_col, "signature", F.posexplode(band_hash).alias("band_idx", "band_hash")
     )
@@ -202,6 +229,52 @@ def _hash64(token: str, seed: int) -> int:
     return h
 
 
+def simhash_signatures_columnar(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 60
+) -> DataFrame:
+    """SimHash as PURE column expressions — zero UDF. The per-bit ±1
+    accumulation becomes n_bits small integer sums: explode tokens,
+    hash each once (``portable_hash60``), sum (2*bit-1) per bit
+    position, rebuild the signature from the sums' signs.
+
+    Two reasons this variant exists alongside the Arrow-UDF one:
+    - scale: it stays in whole-stage codegen with map-side partial
+      aggregation — no Arrow serialization of every document text;
+    - verifiability: the md5-based hash is computable in DuckDB, so
+      the full near-dup pipeline gets a driver SQL oracle (the UDF
+      path's FNV hash has no SQL twin).
+
+    Docs with zero tokens get signature 0 (the UDF path's convention).
+    Default 60 bits = what fits portable_hash60; hamming semantics are
+    unchanged, thresholds comparable to the 64-bit variant."""
+    from hjsonschema_spark.functions import portable_hash60
+
+    df = fan_out(df)
+    # materialize the hash ONCE per token row — the 60 per-bit aggregate
+    # expressions below each reference it; inlining portable_hash60 here
+    # would md5 every token 60 times
+    tk = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("_tok")
+    ).select(F.col(id_col), portable_hash60(F.col("_tok")).alias("_h"))
+    h = F.col("_h")
+    # NULL token (empty doc) falls to otherwise(-1) in every bit: all
+    # sums negative => all bits 0 => signature 0, matching the UDF path
+    sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_s{b}")
+        for b in range(n_bits)
+    ]
+    acc = tk.groupBy(id_col).agg(*sums)
+    sig = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return acc.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -209,18 +282,27 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     seed: int = 42,
     n_bands: int | None = None,
+    engine: str = "udf",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Banding on
     n_bands equal bit-chunks: pairs within distance n_bands-1 share at
     least one exact chunk (pigeonhole), so candidates come from an
     equi-join. n_bands defaults to max_hamming+1 (full recall); more
-    bands = more candidates = slower but never less recall."""
+    bands = more candidates = slower but never less recall.
+
+    engine: 'udf' (64-bit FNV Arrow-UDF signatures) or 'columnar'
+    (60-bit pure-column md5 signatures — oracle-checkable, see
+    ``simhash_signatures_columnar``)."""
+    sig_bits = 60 if engine == "columnar" else 64
     if n_bands is None:
-        n_bands = next(b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1)
-    assert 64 % n_bands == 0, "n_bands must divide 64"
-    width = 64 // n_bands
+        n_bands = next(b for b in range(max_hamming + 1, sig_bits + 1) if sig_bits % b == 0)
+    assert sig_bits % n_bands == 0, f"n_bands must divide {sig_bits}"
+    width = sig_bits // n_bands
     mask = (1 << width) - 1
-    sigs = simhash_signatures(df, text_col, id_col, seed)
+    if engine == "columnar":
+        sigs = simhash_signatures_columnar(df, text_col, id_col, sig_bits)
+    else:
+        sigs = simhash_signatures(df, text_col, id_col, seed)
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
@@ -339,6 +421,7 @@ def embedding_near_duplicates(
     dim: int | None = None,
     seed: int = 42,
     max_bucket: int = 1000,
+    planes: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. Candidates via OR-amplified
     multi-band sign-LSH (see ``hyperplane_band_sketches``: recall
@@ -356,7 +439,9 @@ def embedding_near_duplicates(
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     emb = fan_out(emb)
-    sketches = hyperplane_band_sketches(F.col(vec_col), dim, bands, planes_per_band, seed)
+    sketches = hyperplane_band_sketches(
+        F.col(vec_col), dim, bands, planes_per_band, seed, planes=planes
+    )
     sk = emb.select(F.col(id_col), F.posexplode(sketches).alias("band_idx", "band_sig"))
     from pyspark.sql import Window
 

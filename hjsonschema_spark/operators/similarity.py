@@ -53,6 +53,7 @@ def cosine_topk_lsh(
     planes_per_band: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    planes: list | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing at least one
     band signature with a query (OR-amplified multi-band sign-LSH, see
@@ -60,13 +61,19 @@ def cosine_topk_lsh(
     query band for extra recall. Corpus side carries IDS ONLY through
     the banded join (vectors would be duplicated x bands); candidates
     join back to vectors for exact scoring. Candidate fraction per
-    probe ~2^-planes_per_band; recall tunes with bands."""
+    probe ~2^-planes_per_band; recall tunes with bands.
+
+    ``planes``: explicit projection matrix (user-trained, or literal
+    constants shared with a DuckDB oracle) — see
+    ``hyperplane_band_sketches``."""
     from hjsonschema_spark.functions.columns import hyperplane_band_sketches
 
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     corpus = fan_out(corpus)
-    sketches = hyperplane_band_sketches(F.col(vec_col), dim, bands, planes_per_band, seed)
+    sketches = hyperplane_band_sketches(
+        F.col(vec_col), dim, bands, planes_per_band, seed, planes=planes
+    )
     c_sk = corpus.select(F.col(id_col), F.posexplode(sketches).alias("band_idx", "band_sig"))
     q_sk = queries.select(
         F.col(query_id_col), F.posexplode(sketches).alias("band_idx", "band_sig")

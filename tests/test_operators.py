@@ -63,6 +63,56 @@ def test_minhash_lsh_agrees_with_exact(spark, docs):
         assert pair in approx
 
 
+def test_minhash_lsh_md5_mode(spark, docs):
+    """hash_mode='md5' (the DuckDB-oracle-portable hash family) runs
+    the identical banding algorithm: same recall on the planted dups."""
+    approx = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=64, bands=16, threshold=0.4, hash_mode="md5"
+        ).collect()
+    }
+    for pair in [(1, 2), (1, 8), (2, 8)]:
+        assert pair in approx
+        assert approx[pair] == 1.0  # normalization-equal docs agree on all 64
+
+
+def test_portable_hash60_matches_python_md5(spark):
+    import hashlib
+
+    from hjsonschema_spark.functions import portable_hash60
+
+    vals = ["abc", "hello world", "", "3:deadbeefcafef00d"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r["h"] for r in df.select(portable_hash60(F.col("s")).alias("h")).collect()]
+    exp = [int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in vals]
+    assert got == exp
+
+
+def test_simhash_columnar(spark, docs):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures_columnar(docs).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[8]  # same tokens => same simhash
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(
+            docs, max_hamming=8, engine="columnar"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 8)] == 0
+    assert (1, 3) in pairs  # one-word difference => small hamming
+    # zero-token docs get signature 0, matching the UDF path's convention
+    empty = spark.createDataFrame([(1, ""), (2, "!!!")], "doc_id long, text string")
+    es = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures_columnar(empty).collect()
+    }
+    assert es == {1: 0, 2: 0}
+
+
 def test_simhash_near_duplicates(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
     assert sigs[1] == sigs[2] == sigs[8]  # same tokens => same simhash
