@@ -327,6 +327,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Cluster assignment over an undirected candidate-pair edge list:
     (node, cluster_id) where cluster_id = the minimum node id reachable
@@ -334,16 +335,54 @@ def connected_components(
     and actual dedup decisions — transitive chains (A~B, B~C) must land
     in ONE cluster even when A and C never paired directly.
 
-    Algorithm: min-label propagation accelerated with pointer jumping
-    (each round every node takes the min of its neighbours' labels AND
-    its label's label), the standard O(log d)-round MapReduce/Pregel CC
-    scheme (cf. Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC'14 — public literature). Each round is two shuffles
-    on the (tiny, pairs-only) node set — the corpus itself is never
-    touched. ``localCheckpoint`` truncates the growing lineage so plan
-    compilation stays O(1) per round; the per-round convergence count
-    is one action over #nodes-in-pairs rows, not the corpus.
+    Two execution paths, same output:
+
+    - edge count <= ``driver_threshold``: collect the edges and run
+      union-find on the driver (2 Spark jobs total). The near-dup pair
+      graph is a tiny fraction of the corpus — after LSH verification
+      it is bounded by the documents that actually have near-dups — so
+      this is the common case even at 100 TB; a 1M-edge list is ~16 MB.
+    - larger: distributed min-label propagation accelerated with
+      pointer jumping (each round every node takes the min of its
+      neighbours' labels AND its label's label), the standard
+      O(log d)-round MapReduce/Pregel CC scheme (cf. Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14 — public
+      literature). Each round is two shuffles on the pairs-only node
+      set — the corpus itself is never touched. ``localCheckpoint``
+      truncates the growing lineage so plan compilation stays O(1) per
+      round. Set ``driver_threshold=0`` to force this path.
     """
+    if driver_threshold:
+        # ONE execution of the (possibly expensive) pairs pipeline: pull
+        # at most threshold+1 edges; the overflow row, if present, sends
+        # us to the distributed loop instead
+        rows = [
+            (r[0], r[1])
+            for r in pairs.select(id_a, id_b).limit(driver_threshold + 1).collect()
+        ]
+        if len(rows) <= driver_threshold:
+            spark = pairs.sparkSession
+            t = dict(pairs.dtypes)[id_a]
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in rows:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN so roots are already the min label
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = {a for a, _ in rows} | {b for _, b in rows}
+            out = [(n, find(n)) for n in sorted(nodes)]
+            return spark.createDataFrame(out, f"node {t}, cluster_id {t}")
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -308,9 +308,27 @@ def test_connected_components_long_path_pointer_jumping(spark):
     # pointer jumping (min-label alone needs one round per hop)
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = dedup.connected_components(df, max_iterations=8).collect()
+    out = dedup.connected_components(df, max_iterations=8, driver_threshold=0).collect()
     assert {r["cluster_id"] for r in out} == {0}
     assert len(out) == 41
+
+
+def test_connected_components_driver_vs_distributed(spark):
+    """The driver union-find fast path and the distributed label-
+    propagation path must produce identical output (same min-label
+    semantics). driver_threshold=0 forces the distributed loop."""
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(200), rng.randrange(200)) for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["node"], r["cluster_id"]) for r in dedup.connected_components(df).collect()}
+    dist = {
+        (r["node"], r["cluster_id"])
+        for r in dedup.connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
 
 
 def test_near_duplicate_clusters(spark, docs):
