@@ -291,9 +291,12 @@ def main_transcripts_only() -> None:
     ctl = [run_control_scan(spark, df) for _ in range(3)]
     # 5 measured runs: host noise on this shared VM produces isolated
     # 2-3x outlier runs (measured 46.8 / 92.0 / 35.8 in one child);
-    # median-of-5 tolerates two outliers where median-of-3 flips on one
-    runs = [run_transcripts_job(spark, df) for _ in range(5)]
-    out = sorted(runs, key=lambda r: r["wall_sec"])[2]  # median of 5
+    # median-of-5 tolerates two outliers where median-of-3 flips on one.
+    # Paired-mode children run fewer (SPARK_GRAFT_SCALING_RUNS): there
+    # the noise defense is pairing, not medians.
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5"))
+    runs = [run_transcripts_job(spark, df) for _ in range(n_runs)]
+    out = sorted(runs, key=lambda r: r["wall_sec"])[len(runs) // 2]  # median
     out["cpus"] = CPUS
     out["runs_sec"] = [round(r["wall_sec"], 2) for r in runs]
     out["best_tps"] = round(max(r["turns_per_sec"] for r in runs), 1)
@@ -330,21 +333,64 @@ def main_scaling() -> None:
     # all 32 host cores, inflating tps@N and understating efficiency —
     # and (b) given a proportional heap.
     sizes = {8: {"affinity": "0-7", "mem": "16g"}, 32: {"affinity": "0-31", "mem": "64g"}}
-    results = {}
-    for cpus, cfg in sizes.items():
+
+    def _child(cpus: int, extra_env: dict | None = None) -> dict:
+        cfg = sizes[cpus]
         env = dict(
             os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_CONVS=scaling_convs,
-            SPARK_DRIVER_MEM=cfg["mem"],
+            SPARK_DRIVER_MEM=cfg["mem"], **(extra_env or {}),
         )
         cmd = [sys.executable, os.path.abspath(__file__), "--transcripts-only"]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["/usr/bin/taskset", "-c", cfg["affinity"]] + cmd
-        results[cpus] = _run_scaling_child(cmd, env, cpus)
+        r = _run_scaling_child(cmd, env, cpus)
         print(
-            f"local[{cpus}]: {results[cpus]['turns_per_sec']:.0f} turns/sec "
-            f"(control {results[cpus].get('control_tps', 0):.0f})",
+            f"local[{cpus}]: {r['turns_per_sec']:.0f} turns/sec "
+            f"(control {r.get('control_tps', 0):.0f})",
             file=sys.stderr,
         )
+        return r
+
+    if "--paired" in sys.argv:
+        # Interleaved pairs: the sequential protocol runs the two
+        # children ~30 min apart, so host-load DRIFT between the
+        # windows corrupts the ratio (measured: identical binaries
+        # swing 0.07..0.88 across hours). Here each efficiency sample
+        # is an N child immediately followed by a 4N child (~8 min
+        # apart), so slow drift cancels; one clean ~10-min window
+        # anywhere in the session yields one clean pair. Fewer runs per
+        # child (2) — the noise defense is pairing, not medians.
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "4"))
+        pairs = []
+        for k in range(n_pairs):
+            r8 = _child(8, {"SPARK_GRAFT_SCALING_RUNS": "2"})
+            r32 = _child(32, {"SPARK_GRAFT_SCALING_RUNS": "2"})
+            e = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
+            be = (
+                r32["best_tps"] / (4 * r8["best_tps"])
+                if r8.get("best_tps") and r32.get("best_tps")
+                else None
+            )
+            c8, c32 = r8.get("control_tps"), r32.get("control_tps")
+            ce = (c32 / (4 * c8)) if c8 and c32 else None
+            pairs.append({"r8": r8, "r32": r32, "eff": e, "best_eff": be, "ctl_eff": ce})
+            print(f"[paired] pair {k}: eff={e:.3f} ctl={ce and round(ce,3)}", file=sys.stderr)
+        med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
+        results = {8: med["r8"], 32: med["r32"]}
+        pair_extra = {
+            "paired": n_pairs,
+            "pair_effs": [round(p["eff"], 3) for p in pairs],
+            "pair_best_effs": [p["best_eff"] and round(p["best_eff"], 3) for p in pairs],
+            "pair_ctl_effs": [p["ctl_eff"] and round(p["ctl_eff"], 3) for p in pairs],
+        }
+        best_eff_override = max(
+            [p["best_eff"] for p in pairs if p["best_eff"] is not None] or [None],
+            default=None,
+        )
+    else:
+        results = {8: _child(8), 32: _child(32)}
+        pair_extra = {}
+        best_eff_override = None
     tps8, tps32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
     eff = tps32 / (4 * tps8)
     ctl8, ctl32 = results[8].get("control_tps"), results[32].get("control_tps")
@@ -360,7 +406,9 @@ def main_scaling() -> None:
         "control_efficiency": round(ctl_eff, 3) if ctl_eff else None,
         "normalized_efficiency": round(eff / ctl_eff, 3) if ctl_eff else None,
         "best_efficiency": (
-            round(results[32]["best_tps"] / (4 * results[8]["best_tps"]), 3)
+            round(best_eff_override, 3)
+            if best_eff_override is not None
+            else round(results[32]["best_tps"] / (4 * results[8]["best_tps"]), 3)
             if results[8].get("best_tps") and results[32].get("best_tps")
             else None
         ),
@@ -368,6 +416,7 @@ def main_scaling() -> None:
         "runs_sec_32": results[32].get("runs_sec"),
         "affinity_pinned": os.path.exists("/usr/bin/taskset"),
         "mem": {k: v["mem"] for k, v in sizes.items()},
+        **pair_extra,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_samples.jsonl"), "a") as f:
@@ -416,6 +465,8 @@ def _write_scaling_md() -> None:
     rows = []
     for s in samples:
         when = time.strftime("%m-%d %H:%M", time.localtime(s["ts"]))
+        if s.get("paired"):
+            when += f" \\*{s['paired']}p"
         ctl = s.get("control_efficiency")
         norm = s.get("normalized_efficiency")
         best = s.get("best_efficiency")
@@ -473,6 +524,16 @@ Faithfulness of the proxy (see bench.py `main_scaling`):
 Reproduce: `python bench.py --scaling`
 (env `SPARK_GRAFT_SCALING_CONVS`, default 16,000,000 conversations).
 
+Paired mode (`--scaling --paired`, rows marked `*Kp`): the sequential
+protocol runs the N and 4N children ~30 min apart, so host-load DRIFT
+between the two windows corrupts the ratio (identical binaries have
+measured 0.07..0.88 across hours of this shared VM). Paired mode
+interleaves K (default 4) back-to-back N→4N pairs, ~8 min apart within
+a pair, so slow drift cancels; the row reports the MEDIAN pair (its
+tps on both sides) and `best-run eff` is the best pair's best-run
+ratio. One clean ~10-min window anywhere in the session yields one
+clean pair.
+
 ## Measured samples (full history, newest last)
 
 | when | turns | tps@N | tps@4N | efficiency | best-run eff | control eff | normalized |
@@ -501,6 +562,19 @@ engine code — scaled at only 0.437 (control tps@4N 23M vs the usual
 43-48M, i.e. the host delivered half its normal memory bandwidth), so
 no computation of any kind could have scaled there. The engine's
 scaling capability is the clean sample; the noise is the box.
+
+The 08-18 samples extend the story: the host has been below its clean
+memory bandwidth for 24+ consecutive hours (every control row since
+08-17 05:00 is <=0.9; the 08-18 controls 0.174 / 0.324 / 0.737 — in
+the 0.174 window adding cores REDUCED trivial-scan throughput). The
+engine's normalized efficiency in the first two of those windows:
+0.895 and 0.788 — the engine delivering ~80-90% of whatever scaling
+the hardware permits that hour, raw efficiency tracking the control
+almost 1:1. Per-run walls keep the bimodal steal signature (07:29
+runs_sec_32 = [115, 160, 112, 233, 358]: the 112s run is ~2.4x the
+throughput of the 358s run in the SAME child, identical binaries and
+data). Paired-mode sampling (above) exists because of exactly this
+regime.
 
 The 08-17 (08:22 / 09:00-11:00 era) samples ran in a persistently
 degraded host period: shuffle-heavy engine runs sat at 2-6x their
