@@ -520,6 +520,50 @@ def _cosine_topk_lsh_planes_embeddings(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+def _portable_centroids(seed: int, k: int, dim: int) -> list:
+    """k unit-normalized deterministic centroids from the md5-derived
+    plane family — literal constants shared between the Spark plan and
+    the DuckDB oracle (normalization happens here in Python, so both
+    engines see the exact same doubles)."""
+    import math
+
+    raw = _portable_planes(seed, k, dim)
+    out = []
+    for row in raw:
+        n = math.sqrt(sum(c * c for c in row))
+        out.append([c / n for c in row])
+    return out
+
+
+def _cosine_topk_ivf_fixed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable IVF SEARCH path: a fixed literal codebook (8
+    unit centroids shared with the DuckDB SQL) exercises assignment
+    (argmax centroid dot, ties -> lowest index), n_probe=2 probing, and
+    exact scoring of only the probed inverted lists — every stage
+    replicated in SQL. Codebook TRAINING quality is covered separately
+    (deterministic k-means KAT + full-probe == brute-force); this entry
+    pins the distributed search semantics. Ranking on the rounded
+    cosine with vec_id tie-break, as in the other ANN entries."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_ivf(
+        emb, queries, k=1 << 30, n_probe=2, codebook=_portable_centroids(99, 8, 64)
+    )
+    scored = out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine_r"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _cosine_topk_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -929,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": _cosine_topk_embeddings,
         "embedding_near_dup_planes": _embedding_near_dup_planes,
         "cosine_topk_lsh_planes_embeddings": _cosine_topk_lsh_planes_embeddings,
+        "cosine_topk_ivf_fixed_embeddings": _cosine_topk_ivf_fixed_embeddings,
         "chi2_event_type": _chi2_event_type,
         "ks_value": _ks_value,
         "drift_suite_events": _drift_suite_events,
@@ -1364,6 +1409,50 @@ scored AS (
          round(list_dot_product(cv.v, qv.v)
                / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 5) AS cosine_r
   FROM cand JOIN e cv ON cv.vec_id = cand.vec_id JOIN e qv ON qv.vec_id = cand.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_r DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_r, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+    # cosine_topk_ivf_fixed: literal unit centroids; assignment = argmax
+    # centroid dot (ties -> lowest index — np.argmax first-max contract),
+    # probes = top-2 centroids per query, exact scoring of probed lists.
+    # Raw dot (not normalized) ranks identically to the Spark UDF's
+    # unit-normalized scores: positive per-row scaling.
+    _cents = _portable_centroids(99, 8, 64)
+    _cvals = ",\n    ".join(
+        f"({j}, [{', '.join(repr(c) for c in row)}]::DOUBLE[])"
+        for j, row in enumerate(_cents)
+    )
+    sql["cosine_topk_ivf_fixed_embeddings"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(j, c) AS (VALUES
+    {_cvals}),
+sc AS (
+  SELECT e.vec_id, cents.j, list_dot_product(e.v, cents.c) AS s
+  FROM e CROSS JOIN cents
+),
+ranked_c AS (
+  SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rk
+  FROM sc
+),
+assign AS (SELECT vec_id, j AS cluster_id FROM ranked_c WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, j AS cluster_id
+           FROM ranked_c WHERE vec_id < 3 AND rk <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assign a JOIN probes p USING (cluster_id)
+),
+scored AS (
+  SELECT c2.query_id, c2.vec_id,
+         round(list_dot_product(cv.v, qv.v)
+               / (sqrt(list_dot_product(cv.v, cv.v)) * sqrt(list_dot_product(qv.v, qv.v))), 5) AS cosine_r
+  FROM cand c2 JOIN e cv ON cv.vec_id = c2.vec_id JOIN e qv ON qv.vec_id = c2.query_id
 ),
 ranked AS (
   SELECT query_id, vec_id, cosine_r,
