@@ -278,6 +278,9 @@ def _minhash_lsh_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=64, bands=16, threshold=0.2,
         hash_mode="md5",
+        # effectively unbounded: the DuckDB oracle has no bucket cap, so
+        # the parity entry must not silently trim a >1000-member bucket
+        max_bucket=1 << 30,
     )
     return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")).orderBy(
         "id_a", "id_b"
@@ -285,10 +288,11 @@ def _minhash_lsh_md5_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_columnar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Columnar (zero-UDF, md5-hash) SimHash near-dup pairs — the
-    oracle-checkable twin of `simhash_documents` (which uses the
-    Arrow-UDF FNV signatures). 60-bit signatures, 4 bands of 15 bits
-    for max_hamming=3."""
+    """Columnar (zero-UDF, md5-hash) SimHash near-dup pairs. Since the
+    columnar engine became the default (round 3) this is identical to
+    `simhash_documents`; kept as the explicitly-parameterized variant
+    (the Arrow-UDF FNV engine remains opt-in via engine='udf').
+    60-bit signatures, 4 bands of 15 bits for max_hamming=3."""
     out = dedup.simhash_near_duplicates(
         _t(spark, sf_dir, "documents"), max_hamming=3, engine="columnar"
     )
@@ -394,10 +398,15 @@ def _minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # max_hamming=3 => 4 bands of 16-bit chunks (>=2^16 join keys);
+    # max_hamming=3 => 4 bands of 15-bit chunks (>=2^15 join keys);
     # max_hamming=15 forced 4-bit chunks / 256 keys — a near-quadratic
-    # self-join (VERDICT r1)
-    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+    # self-join (VERDICT r1). Default engine is now 'columnar' (VERDICT
+    # r2 item 3): codegen'd md5 signatures, no Arrow round-trip — which
+    # also makes this production entry oracle-checkable end-to-end.
+    out = dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,6 +492,8 @@ def _embedding_near_dup_planes(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_per_band=8,
         dim=64,
         planes=_portable_planes(42, 64, 64),
+        # unbounded like the DuckDB oracle (no bucket-cap trim in SQL)
+        max_bucket=1 << 30,
     )
     return out.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r")).orderBy(
         "id_a", "id_b"
@@ -1106,7 +1117,11 @@ SELECT check_name, passed FROM (
     sql["conversation_checks_events"] = """
 WITH seq AS (
   SELECT user_id,
-         string_agg(event_type, ',' ORDER BY ts, event_id, event_type) AS s,
+         -- NULLS FIRST pins the order keys to Spark's sort_array
+         -- convention (ascending = NULL-first); DuckDB defaults to
+         -- NULLS LAST on ASC, which would diverge on a NULL ts
+         string_agg(event_type, ',' ORDER BY ts NULLS FIRST,
+                    event_id NULLS FIRST, event_type NULLS FIRST) AS s,
          count(event_id) AS n
   FROM events GROUP BY 1
 )
@@ -1246,6 +1261,9 @@ ham AS (
 SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
 ORDER BY id_a, id_b
 """
+    # the production entry now defaults to the columnar engine, so the
+    # same oracle verifies it end-to-end (was rows-only / no_oracle)
+    sql["simhash_documents"] = sql["simhash_columnar_documents"]
 
     sql["token_stats_documents"] = rf"""
 WITH toks AS ({_TOKS_CTE})
@@ -1771,7 +1789,7 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, size_class FROM d
-WHERE u < CASE WHEN size_class = 'long' THEN '{_frac_20}' ELSE 'ffffffff' END
+WHERE CASE WHEN size_class = 'long' THEN u < '{_frac_20}' ELSE TRUE END
 """
     _sh5 = " || ' ' || ".join(f"ts[i+{j}]" for j in range(5))
     sql["decontaminate_documents"] = f"""

@@ -566,7 +566,10 @@ def run_group_scope_checks(
     for i, c in enumerate(checks):
         s = F.col(f"_s{i}")
         if isinstance(c, SequencePattern):
-            bad = ~s.rlike(c.regex)
+            # A group with zero non-NULL values joins to '' — vacuous
+            # pass (matches GroupAggBounds' NULL-statistic rule and the
+            # DuckDB oracle, whose string_agg yields NULL and skips).
+            bad = (F.length(s) > 0) & ~s.rlike(c.regex)
             value = F.substring(s, 1, c.max_value_len)
         else:
             ok = F.lit(True)

@@ -282,7 +282,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     seed: int = 42,
     n_bands: int | None = None,
-    engine: str = "udf",
+    engine: str = "columnar",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming. Banding on
     n_bands equal bit-chunks: pairs within distance n_bands-1 share at
@@ -290,9 +290,10 @@ def simhash_near_duplicates(
     equi-join. n_bands defaults to max_hamming+1 (full recall); more
     bands = more candidates = slower but never less recall.
 
-    engine: 'udf' (64-bit FNV Arrow-UDF signatures) or 'columnar'
-    (60-bit pure-column md5 signatures — oracle-checkable, see
-    ``simhash_signatures_columnar``)."""
+    engine: 'columnar' (default — 60-bit pure-column md5 signatures,
+    whole-stage codegen + map-side combine, no Arrow serialization of
+    the text; oracle-checkable, see ``simhash_signatures_columnar``)
+    or 'udf' (64-bit FNV Arrow-UDF signatures, opt-in)."""
     sig_bits = 60 if engine == "columnar" else 64
     if n_bands is None:
         n_bands = next(b for b in range(max_hamming + 1, sig_bits + 1) if sig_bits % b == 0)

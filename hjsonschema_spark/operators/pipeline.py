@@ -11,7 +11,7 @@ is a shingle equi-join; repetition is two hash aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -300,21 +300,29 @@ def sample_by_hash(
 
     One projection, no shuffle, no sampling state; `salt` re-deals.
     """
-    def _thr(f: float) -> str:
+    u = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+
+    def _keep(f: float) -> Column:
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction must be in [0,1], got {f}")
-        return format(min(int(f * 2**32), 2**32 - 1), "08x")
+        # Short-circuit the boundaries: a strict `u < threshold` with a
+        # clamped 'ffffffff' threshold would drop rows whose md5 prefix
+        # is exactly 0xffffffff (~1 in 4.3B — real rows at scale), so
+        # 1.0 must be keep-all and 0.0 drop-all by construction.
+        if f >= 1.0:
+            return F.lit(True)
+        if f <= 0.0:
+            return F.lit(False)
+        return u < F.lit(format(min(int(f * 2**32), 2**32 - 1), "08x"))
 
-    u = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
     if strata_col is None or not strata_fractions:
-        keep = u < F.lit(_thr(fraction))
+        keep = _keep(fraction)
     else:
-        thr = None
+        keep = None
         for value, f in strata_fractions.items():
             cond = F.col(strata_col) == F.lit(value)
-            t = F.lit(_thr(f))
-            thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-        keep = u < thr.otherwise(F.lit(_thr(fraction)))
+            keep = F.when(cond, _keep(f)) if keep is None else keep.when(cond, _keep(f))
+        keep = keep.otherwise(_keep(fraction))
     return df.filter(keep)
 
 

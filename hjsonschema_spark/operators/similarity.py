@@ -18,6 +18,23 @@ from pyspark.sql import functions as F
 
 from hjsonschema_spark.functions import cosine_similarity, fan_out
 
+# Query sets above this row count are not broadcast (an unconditional
+# hint would OOM the executors if a caller passes 10M queries — each
+# executor holds the full set); the join falls back to a shuffle join
+# and AQE still converts it at runtime if the build side turns out
+# small. 100k queries x 64 float64 dims ~ 50 MB broadcast — safe.
+DEFAULT_QUERY_BROADCAST_LIMIT = 100_000
+
+
+def _is_small(queries: DataFrame, limit: int) -> bool:
+    """limit-bounded count: scanning stops at limit+1 rows, so probing
+    a huge query set costs one cheap job, not a full count."""
+    return limit > 0 and queries.limit(limit + 1).count() <= limit
+
+
+def _maybe_broadcast(df: DataFrame, small: bool) -> DataFrame:
+    return F.broadcast(df) if small else df
+
 
 def cosine_topk_bruteforce(
     corpus: DataFrame,
@@ -26,13 +43,22 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    broadcast_limit: int = DEFAULT_QUERY_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Exact top-k neighbors per query. Output: query_id, vec_id,
-    cosine, rank (1-based, ties broken by vec_id for determinism)."""
+    cosine, rank (1-based, ties broken by vec_id for determinism).
+
+    Contract: intended for SMALL query sets (every corpus row scores
+    every query). The query side is broadcast only when it is provably
+    <= broadcast_limit rows; above that the crossJoin degrades to a
+    partitioned nested-loop — at that point use cosine_topk_lsh/ivf."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).crossJoin(F.broadcast(q))
+    small = _is_small(queries, broadcast_limit)
+    scored = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).crossJoin(
+        _maybe_broadcast(q, small)
+    )
     cos = cosine_similarity(F.col(vec_col), F.col("_qvec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -54,6 +80,7 @@ def cosine_topk_lsh(
     seed: int = 42,
     dim: int | None = None,
     planes: list | None = None,
+    broadcast_limit: int = DEFAULT_QUERY_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing at least one
     band signature with a query (OR-amplified multi-band sign-LSH, see
@@ -62,6 +89,10 @@ def cosine_topk_lsh(
     the banded join (vectors would be duplicated x bands); candidates
     join back to vectors for exact scoring. Candidate fraction per
     probe ~2^-planes_per_band; recall tunes with bands.
+
+    The query side (probed band keys, then vectors) is broadcast only
+    when provably <= broadcast_limit rows; larger query sets take the
+    shuffle path (AQE may still broadcast at runtime).
 
     ``planes``: explicit projection matrix (user-trained, or literal
     constants shared with a DuckDB oracle) — see
@@ -86,13 +117,16 @@ def cosine_topk_lsh(
     q_probed = q_sk.select(
         query_id_col, "band_idx", F.explode(probes).alias("band_sig")
     ).dropDuplicates()
+    small = _is_small(queries, broadcast_limit)
     cand_ids = (
-        c_sk.join(F.broadcast(q_probed), ["band_idx", "band_sig"])
+        c_sk.join(_maybe_broadcast(q_probed, small), ["band_idx", "band_sig"])
         .select(query_id_col, id_col)
         .dropDuplicates([query_id_col, id_col])
     )
     cand = cand_ids.join(corpus.select(id_col, vec_col), id_col).join(
-        F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("_qvec"))),
+        _maybe_broadcast(
+            queries.select(query_id_col, F.col(vec_col).alias("_qvec")), small
+        ),
         query_id_col,
     )
     cos = cosine_similarity(F.col(vec_col), F.col("_qvec"))
@@ -237,15 +271,17 @@ def cosine_topk_ivf(
     codebook=None,
     iters: int = 10,
     seed: int = 42,
+    broadcast_limit: int = DEFAULT_QUERY_BROADCAST_LIMIT,
 ) -> DataFrame:
     """Approximate top-k via IVF probing: score each query against only
     the corpus vectors whose cluster is among the query's n_probe
     nearest centroids. Join shape for scale: corpus equi-shuffled once
     on cluster_id (or pre-bucketed by ivf_assign at write time — then
     zero shuffle), queries broadcast with their probe lists exploded
-    (n_queries x n_probe rows). Candidate fraction ~= n_probe /
-    n_clusters; recall tunes with n_probe (and exactly 1.0 when
-    n_probe == n_clusters)."""
+    (n_queries x n_probe rows) when the base query set is provably
+    <= broadcast_limit rows, else a shuffle join on cluster_id.
+    Candidate fraction ~= n_probe / n_clusters; recall tunes with
+    n_probe (and exactly 1.0 when n_probe == n_clusters)."""
     if codebook is None:
         codebook = train_ivf_codebook(
             corpus, n_clusters, vec_col, id_col, iters=iters, seed=seed
@@ -257,7 +293,9 @@ def cosine_topk_ivf(
         .withColumn("_probes", _probes_udf(codebook, n_probe)(F.col("_qvec")))
         .select(query_id_col, "_qvec", F.explode("_probes").alias("cluster_id"))
     )
-    cand = assigned.join(F.broadcast(q_probed), "cluster_id")
+    cand = assigned.join(
+        _maybe_broadcast(q_probed, _is_small(queries, broadcast_limit)), "cluster_id"
+    )
     cos = cosine_similarity(F.col(vec_col), F.col("_qvec"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (

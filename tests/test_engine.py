@@ -848,6 +848,27 @@ def test_sequence_pattern_null_values_skipped_and_ordering(spark):
     assert v["value"] == "a,b"
 
 
+def test_sequence_pattern_all_null_group_vacuous(spark):
+    """A group whose every value is NULL joins to '' — vacuous pass
+    (matches GroupAggBounds' NULL-statistic rule and the DuckDB oracle,
+    whose string_agg yields NULL and skips the group). ADVICE r2."""
+    from hjsonschema_spark.checks import SequencePattern
+
+    rows = [("allnull", 1, None), ("allnull", 2, None), ("ok", 1, "a")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    res = run_suite(
+        df,
+        _suite(
+            SequencePattern(
+                column="role", group_by=("conv_id",), order_by=("turn_idx",),
+                regex="^a$",
+            )
+        ),
+    )
+    # 'ok' matches, 'allnull' is vacuous: zero violations
+    assert res.violations.count() == 0
+
+
 def test_sequence_pattern_truncation_and_config(spark):
     from hjsonschema_spark.checks import SequencePattern
 

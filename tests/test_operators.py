@@ -114,14 +114,22 @@ def test_simhash_columnar(spark, docs):
 
 
 def test_simhash_near_duplicates(spark, docs):
+    # the opt-in Arrow-UDF engine (default is columnar since round 3)
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
     assert sigs[1] == sigs[2] == sigs[8]  # same tokens => same simhash
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_near_duplicates(docs, max_hamming=8).collect()
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=8, engine="udf").collect()
     }
     assert pairs[(1, 2)] == 0 and pairs[(1, 8)] == 0
     assert (1, 3) in pairs  # one-word difference => small hamming
+
+    # default engine is columnar — same qualitative pairs, no Arrow UDF
+    dpairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=8).collect()
+    }
+    assert dpairs[(1, 2)] == 0 and dpairs[(1, 8)] == 0
 
 
 @pytest.fixture(scope="module")
@@ -197,6 +205,37 @@ def test_cosine_topk_brute_vs_lsh(spark, emb):
     lsh_got = {(r["query_id"], r["rank"]): r["vec_id"] for r in lsh.collect()}
     for q in [0, 1, 2]:
         assert lsh_got[(q, 1)] == q  # self-bucket always probed
+
+
+def test_cosine_topk_broadcast_gate(spark, emb):
+    """Query-side broadcasts are size-gated (VERDICT r2 item 9): an
+    over-threshold query set must NOT be hint-broadcast (a caller with
+    10M queries would OOM the executors) — it falls back to the shuffle
+    join, with identical results."""
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    small = similarity.cosine_topk_bruteforce(emb, queries, k=3)
+    big = similarity.cosine_topk_bruteforce(emb, queries, k=3, broadcast_limit=2)
+    assert hinted(small) and not hinted(big)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+    small = similarity.cosine_topk_lsh(emb, queries, k=3, bands=4, planes_per_band=6)
+    big = similarity.cosine_topk_lsh(
+        emb, queries, k=3, bands=4, planes_per_band=6, broadcast_limit=2
+    )
+    assert hinted(small) and not hinted(big)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+    cb = similarity.train_ivf_codebook(emb, n_clusters=8, iters=3)
+    small = similarity.cosine_topk_ivf(emb, queries, k=3, codebook=cb, n_probe=8)
+    big = similarity.cosine_topk_ivf(
+        emb, queries, k=3, codebook=cb, n_probe=8, broadcast_limit=2
+    )
+    assert hinted(small) and not hinted(big)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
 
 
 def test_text_ops(spark, docs):

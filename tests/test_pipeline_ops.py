@@ -235,6 +235,30 @@ def test_sample_by_hash_stratified_rates(spark):
     assert 100 < got["big"] < 350        # ~10% of 2000
 
 
+def test_sample_by_hash_boundary_fractions(spark):
+    """fraction 1.0 is keep-ALL and 0.0 is drop-all by construction
+    (ADVICE r2): the strict `u < 'ffffffff'` comparison would drop rows
+    whose md5 prefix is exactly 0xffffffff, so the boundaries must
+    short-circuit to literal True/False — pinned by the optimized plan
+    having no Filter at all for fraction=1.0."""
+    from hjsonschema_spark.operators.pipeline import sample_by_hash
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    keep_all = sample_by_hash(df, fraction=1.0)
+    assert keep_all.count() == 100
+    # filter(lit(True)) folds away entirely — proves no hash comparison
+    plan = keep_all._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan
+    assert sample_by_hash(df, fraction=0.0).count() == 0
+    # stratified boundaries short-circuit per stratum too
+    sdf = df.withColumn("cls", F.when(F.col("doc_id") < 50, "a").otherwise("b"))
+    out = sample_by_hash(
+        sdf, fraction=0.5, strata_col="cls", strata_fractions={"a": 1.0, "b": 0.0}
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == list(range(50))
+
+
 def test_leakage_safe_split_never_splits_duplicates(spark):
     from hjsonschema_spark.operators.pipeline import leakage_safe_split
 
