@@ -25,6 +25,9 @@ from hjsonschema_spark.checks import (
     Enum,
     FunctionalDependency,
     Length,
+    MapKeysAllowed,
+    MapPatternValues,
+    MapRequiredKeys,
     MultipleOf,
     NonNullCount,
     Pattern,
@@ -698,6 +701,60 @@ def _dependent_schema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _map_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType DATA-key lifts — required/patternProperties/
+    additionalProperties applied to INSTANCE keys (Properties.hs:88-209,
+    Object.hs:96-106), not column names: build a per-row `attrs` map
+    whose key set varies with the data (the JSON-object shape the
+    reference validates), then run all three map checks in the ONE
+    fused row pass. Violation detail = the offending keys, so the
+    DuckDB twin can reproduce it from the base columns exactly."""
+    ev = _t(spark, sf_dir, "events")
+    k_val = F.get_json_object("props", "$.k")
+    entries = F.filter(
+        F.array(
+            F.struct(
+                F.when(k_val.isNotNull(), F.lit("k")).alias("key"),
+                k_val.alias("value"),
+            ),
+            F.struct(
+                F.when(
+                    F.col("event_type").isNotNull(),
+                    F.concat(F.lit("attr_"), F.col("event_type")),
+                ).alias("key"),
+                F.col("value").cast("string").alias("value"),
+            ),
+            F.struct(
+                F.when(F.col("user_id") % 7 == 0, F.lit("debug_trace")).alias("key"),
+                F.col("user_id").cast("string").alias("value"),
+            ),
+        ),
+        lambda s: s["key"].isNotNull(),
+    )
+    ev = ev.withColumn("attrs", F.map_from_entries(entries))
+    suite = CheckSuite(
+        name="events_map",
+        key_columns=("event_id",),
+        checks=(
+            MapKeysAllowed(
+                column="attrs",
+                keys=("k", "debug_trace"),
+                patterns=("^attr_(" + "|".join(EVENT_VOCAB) + ")$",),
+            ),
+            MapPatternValues(
+                column="attrs",
+                key_regex="^k$",
+                value_predicate="cast(x as bigint) between 0 and 80",
+            ),
+            MapRequiredKeys(column="attrs", keys=("k", "debug_trace")),
+        ),
+    )
+    res = run_suite(ev, suite)
+    return res.violations.select(
+        "event_id", F.col("check").alias("check_name"), F.col("value").alias("detail")
+    )
+
+
 def _set_diff_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set ops (SURVEY §2.7): symmetric vocabulary diff via exceptAll
     over pre-distincted sides — the partial-agg distinct shrinks each
@@ -992,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_conformance_lineitem": _schema_conformance_lineitem,
         "non_null_count_events": _non_null_count_events,
         "dependent_schema_events": _dependent_schema_events,
+        "map_props_events": _map_props_events,
         "set_diff_event_types": _set_diff_event_types,
         "array_positional_lineitem": _array_positional_lineitem,
         "dedup_clusters_documents": _dedup_clusters_documents,
@@ -1612,6 +1670,33 @@ SELECT event_id, '{dep_check}' AS check_name,
 FROM events
 WHERE value > 0.5
   AND (NOT (value <= 300) OR event_type NOT IN ({vocab_in}))
+"""
+
+    # map data-key checks: the attrs map is a pure function of the base
+    # columns (key 'k' iff props has k; 'attr_'||event_type iff
+    # event_type non-null; 'debug_trace' iff user_id % 7 = 0), so every
+    # violation — including the offending-keys detail — reproduces in
+    # plain SQL with no MAP type needed
+    sql["map_props_events"] = f"""
+WITH base AS (
+  SELECT event_id,
+         json_extract_string(props, '$.k') AS jk,
+         event_type,
+         coalesce(user_id % 7 = 0, false) AS dbg
+  FROM events
+)
+SELECT event_id, 'map_keys_allowed:attrs' AS check_name,
+       'attr_' || event_type AS detail
+FROM base WHERE event_type IS NOT NULL AND event_type NOT IN ({vocab_in})
+UNION ALL
+SELECT event_id, 'map_pattern_values:attrs:^k$' AS check_name, 'k' AS detail
+FROM base WHERE jk IS NOT NULL AND NOT (CAST(jk AS BIGINT) BETWEEN 0 AND 80)
+UNION ALL
+SELECT event_id, 'map_required_keys:attrs' AS check_name,
+       CASE WHEN jk IS NULL AND NOT dbg THEN 'debug_trace,k'
+            WHEN jk IS NULL THEN 'k'
+            ELSE 'debug_trace' END AS detail
+FROM base WHERE jk IS NULL OR NOT dbg
 """
 
     vocab_vals = ", ".join(f"('{v}')" for v in EVENT_VOCAB + ("refund",))

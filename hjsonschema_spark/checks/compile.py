@@ -41,6 +41,9 @@ from hjsonschema_spark.checks.ir import (
     GroupAggBounds,
     KSDrift,
     Length,
+    MapKeysAllowed,
+    MapPatternValues,
+    MapRequiredKeys,
     MapSize,
     Monotonic,
     MultipleOf,
@@ -66,6 +69,37 @@ FAILURE_STRUCT = "check string, column string, value string"
 def _guard(col: Column, pred: Column) -> Column:
     """NULL value => vacuous pass; NULL predicate => False."""
     return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
+
+
+def _qcol(name: str) -> str:
+    """Column reference for SQL-string expressions; dotted paths become
+    struct-field access (`a`.`b`)."""
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+def _sql_str(s: str) -> str:
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _map_remainder_sql(c: MapKeysAllowed) -> str:
+    """SQL for the map of entries matched by NEITHER the allowed keys
+    nor any compilable pattern (Properties.hs:106-108 remainder rule;
+    uncompilable patterns skipped silently per Properties.hs:150-155)."""
+    import re as _re
+
+    pats = []
+    for p in c.patterns:
+        try:
+            _re.compile(p)
+            pats.append(p)
+        except _re.error:
+            pass
+    terms = []
+    if c.keys:
+        terms.append(f"k IN ({', '.join(_sql_str(k) for k in c.keys)})")
+    terms += [f"k RLIKE {_sql_str(p)}" for p in pats]
+    allowed = " OR ".join(terms) if terms else "false"
+    return f"map_filter({_qcol(c.column)}, (k, v) -> NOT ({allowed}))"
 
 
 def check_id(c: Check) -> str:
@@ -102,6 +136,12 @@ def check_id(c: Check) -> str:
         return f"non_null_count:{','.join(c.columns)}"
     if isinstance(c, MapSize):
         return f"map_size:{c.column}"
+    if isinstance(c, MapRequiredKeys):
+        return f"map_required_keys:{c.column}"
+    if isinstance(c, MapKeysAllowed):
+        return f"map_keys_allowed:{c.column}"
+    if isinstance(c, MapPatternValues):
+        return f"map_pattern_values:{c.column}:{c.key_regex}"
     if isinstance(c, ArrayPositional):
         return f"array_positional:{c.column}"
     if isinstance(c, ColumnsAllowed):
@@ -249,6 +289,42 @@ def compile_row_predicate(c: RowCheck) -> Column:
         if c.max_props is not None:
             preds.append(F.size(col) <= c.max_props)
         return _guard(col, reduce(lambda a, b: a & b, preds))
+    if isinstance(c, MapRequiredKeys):
+        col = F.col(c.column)
+        keys_arr = f"array({', '.join(_sql_str(k) for k in c.keys)})"
+        pred = F.expr(
+            f"forall({keys_arr}, k -> map_contains_key({_qcol(c.column)}, k))"
+        )
+        return _guard(col, pred)
+    if isinstance(c, MapKeysAllowed):
+        col = F.col(c.column)
+        rem = _map_remainder_sql(c)
+        if c.additional == "none":
+            pred = F.expr(f"size({rem}) = 0")
+        else:
+            # additionalProperties=schema: every remainder VALUE must
+            # satisfy the predicate (Properties.hs:199-209); the lambda
+            # binds the value as `x` so the predicate language matches
+            # ArrayForAll's
+            pred = F.expr(
+                f"forall(map_values({rem}), x -> coalesce(({c.additional}), false))"
+            )
+        return _guard(col, pred)
+    if isinstance(c, MapPatternValues):
+        import re as _re
+
+        try:
+            _re.compile(c.key_regex)
+        except _re.error:
+            return F.lit(True)  # pattern skipped silently (Properties.hs:150-155)
+        col = F.col(c.column)
+        matched = (
+            f"map_filter({_qcol(c.column)}, (k, v) -> k RLIKE {_sql_str(c.key_regex)})"
+        )
+        pred = F.expr(
+            f"forall(map_values({matched}), x -> coalesce(({c.value_predicate}), false))"
+        )
+        return _guard(col, pred)
     if isinstance(c, ArrayPositional):
         col = F.col(c.column)
         n = len(c.element_predicates)
@@ -305,6 +381,18 @@ def compile_row_predicate(c: RowCheck) -> Column:
     raise ConfigInvalid(f"not a row check: {type(c).__name__}")
 
 
+def _failed_leaf_ids(c: RowCheck) -> Column:
+    """array<string> of the check ids of failed LEAF checks under `c`
+    (AllOf branches recurse; any other node is its own leaf) — the
+    per-branch failure detail the reference's applicator failures carry
+    (Any.hs:364-410)."""
+    if isinstance(c, AllOf):
+        return F.flatten(F.array(*[_failed_leaf_ids(k) for k in c.checks]))
+    return F.when(
+        ~compile_row_predicate(c), F.array(F.lit(check_id(c)))
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+
+
 def _violating_value(c: RowCheck) -> Column:
     if isinstance(c, OneOf):
         # failure-detail parity with the reference's oneOf
@@ -333,6 +421,25 @@ def _violating_value(c: RowCheck) -> Column:
             F.transform(flags, lambda b, i: F.when(~b, i)), lambda x: x.isNotNull()
         )
         return F.to_json(F.struct(failed_idx.alias("failed_branches")))
+    if isinstance(c, AnyOf):
+        # per-branch failure detail (Any.hs:395-410): anyOf only fails
+        # when EVERY branch fails — report each branch's failed leaf
+        # check ids, mirroring AnyOfInvalid carrying all branches'
+        # failures
+        branch_fails = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("branch"), _failed_leaf_ids(k).alias("failed")
+                )
+                for i, k in enumerate(c.checks)
+            ]
+        )
+        return F.to_json(
+            F.struct(
+                F.lit("no_successes").alias("failure"),
+                branch_fails.alias("branch_failures"),
+            )
+        )
     if isinstance(c, DependentSchema):
         # which child checks failed while when_column was present
         flags = F.array(*[compile_row_predicate(k) for k in c.checks])
@@ -345,6 +452,37 @@ def _violating_value(c: RowCheck) -> Column:
             lambda a, b: a + b, (F.col(x).isNotNull().cast("int") for x in c.columns)
         )
         return cnt.cast("string")
+    if isinstance(c, MapRequiredKeys):
+        # the missing keys (RequiredInvalid's leftovers, Object.hs:104)
+        keys_arr = f"array({', '.join(_sql_str(k) for k in c.keys)})"
+        return F.expr(
+            f"array_join(array_sort(filter({keys_arr}, "
+            f"k -> NOT map_contains_key({_qcol(c.column)}, k))), ',')"
+        )
+    if isinstance(c, MapKeysAllowed):
+        rem = _map_remainder_sql(c)
+        if c.additional == "none":
+            return F.expr(f"array_join(array_sort(map_keys({rem})), ',')")
+        # keys of remainder entries whose VALUE failed the predicate
+        # (lambda binds the value as `x`, same language as the check)
+        return F.expr(
+            f"array_join(array_sort(map_keys(map_filter({rem}, "
+            f"(k, x) -> NOT coalesce(({c.additional}), false)))), ',')"
+        )
+    if isinstance(c, MapPatternValues):
+        import re as _re
+
+        try:
+            _re.compile(c.key_regex)
+        except _re.error:
+            return F.lit(None).cast("string")  # vacuous check, never fails
+        matched = (
+            f"map_filter({_qcol(c.column)}, (k, v) -> k RLIKE {_sql_str(c.key_regex)})"
+        )
+        return F.expr(
+            f"array_join(array_sort(map_keys(map_filter({matched}, "
+            f"(k, x) -> NOT coalesce(({c.value_predicate}), false)))), ',')"
+        )
     col = getattr(c, "column", None)
     if col:
         return F.col(col).cast("string")

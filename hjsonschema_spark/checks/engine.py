@@ -38,6 +38,21 @@ from hjsonschema_spark.checks.ir import (
 _VIOL_TAIL = ["check", "column", "value"]
 
 
+def _dtype_of(df: DataFrame, name: str) -> str | None:
+    """Spark simpleString of a column, resolving dotted paths into
+    StructType fields (`a.b.c`) — the nested-object flattening surface
+    (from_schema's Schema.hs properties recursion). None if absent."""
+    from pyspark.sql.types import StructType
+
+    parts = name.split(".")
+    dt = df.schema
+    for p in parts:
+        if not isinstance(dt, StructType) or p not in dt.fieldNames():
+            return None
+        dt = dt[p].dataType
+    return dt.simpleString()
+
+
 @dataclass
 class ValidationResult:
     """Lazy handles over the suite's outputs."""
@@ -323,12 +338,33 @@ def run_suite(
     import dataclasses
     import re as _re
 
-    from hjsonschema_spark.checks.ir import ColumnsAllowed, PatternColumns, TypeIs
+    from hjsonschema_spark.checks.ir import (
+        ColumnsAllowed,
+        PatternColumns,
+        RemainderColumns,
+        TypeIs,
+    )
 
     expanded: list = []
     schema_verdicts: list[tuple[str, bool, int | None]] = []
     for c in resolved:
-        if isinstance(c, PatternColumns):
+        if isinstance(c, RemainderColumns):
+            # additionalProperties=SCHEMA over columns: instantiate the
+            # template for every column matched by NEITHER the declared
+            # names nor a pattern (Properties.hs:106-108, 199-209)
+            pats = []
+            for p in c.patterns:
+                try:
+                    pats.append(_re.compile(p))
+                except _re.error:
+                    pass  # skipped silently
+            declared = set(c.columns)
+            expanded.extend(
+                dataclasses.replace(c.check, column=col)
+                for col in df.columns
+                if col not in declared and not any(r.search(col) for r in pats)
+            )
+        elif isinstance(c, PatternColumns):
             try:
                 rx = _re.compile(c.name_regex)
             except _re.error:
@@ -370,7 +406,9 @@ def run_suite(
     wanted: set[str] = set(suite.key_columns)
     for c in resolved:
         wanted |= referenced_columns(c)
-    absent = sorted(wanted - present)
+    absent = sorted(
+        n for n in wanted - present if _dtype_of(df, n) is None
+    )
     if absent:
         raise ConfigInvalid(
             f"suite {suite.name!r} references columns not in the table: {absent}"
@@ -383,7 +421,7 @@ def run_suite(
     dtypes = dict(df.dtypes)
     for c in resolved:
         if isinstance(c, TypeIs):
-            actual = dtypes.get(c.column)
+            actual = _dtype_of(df, c.column)
             if c.json_type:
                 ok = actual is not None and json_type_matches(c.json_type, actual)
             else:
@@ -403,11 +441,12 @@ def run_suite(
     def _typeis_rowpred(c) -> "ir.Custom":
         from hjsonschema_spark.checks.ir import Custom as _Custom
 
-        t = dtypes.get(c.column)
+        t = _dtype_of(df, c.column)
         label = f"json_type_{c.column}_{c.json_type or c.type_name}"
+        qcol = ".".join(f"`{p}`" for p in c.column.split("."))
         if c.json_type and t is not None:
             if c.json_type == "integer" and (t in _FLOATING or t.startswith("decimal")):
-                return _Custom(name=label, expr=f"`{c.column}` = floor(`{c.column}`)")
+                return _Custom(name=label, expr=f"{qcol} = floor({qcol})")
             ok = json_type_matches(c.json_type, t)
         else:
             ok = t == c.type_name

@@ -25,14 +25,22 @@ Semantics preserved from the reference:
 - unknown keywords are ignored (the `_schemaOther` catch-all,
   Schema.hs:22-30).
 
+Columnar-lift extensions:
+- nested object schemas (a property whose subschema has its own
+  `properties`/`required`) flatten onto StructType dotted paths
+  (`col.field`), any depth; nested `required` is guarded on the parent
+  struct being present (DependentSchema);
+- `type` as a LIST of names compiles to AnyOf of TypeIs row predicates
+  (Any.hs:260-291 string-or-array semantics).
+
+- `additionalProperties` as a SCHEMA expands over the UNDECLARED
+  columns at compile time (RemainderColumns — the Properties.hs:199-209
+  remainder rule at column scope); for MapType DATA keys use
+  MapKeysAllowed / MapPatternValues / MapRequiredKeys in the check IR.
+
 Documented divergences (inherent to the columnar lift, raised as
 ConfigInvalid rather than silently mis-validated):
-- nested object schemas inside a property (a property whose subschema
-  has its own `properties`) don't flatten to one column — model those
-  as separate tables or MapType columns;
-- `type` as a LIST of names is not lifted (a physical column has one
-  Spark type);
-- `additionalProperties` as a SCHEMA is not lifted (only true/false);
+- `dependencies` under a nested property are not lifted;
 - `minProperties`/`maxProperties` count non-null DECLARED columns
   (NonNullCount) — a fixed-width row has no "absent" keys, so null is
   the absence analogue (SURVEY §2.3).
@@ -64,6 +72,7 @@ from hjsonschema_spark.checks.ir import (
     OneOf,
     Pattern,
     PatternColumns,
+    RemainderColumns,
     Required,
     RowCheck,
     TypeIs,
@@ -167,12 +176,22 @@ def _lift_column(col: str, sub: dict, root: dict, visiting: frozenset) -> list[R
 
     if "type" in sub:
         t = sub["type"]
-        if not isinstance(t, str):
-            raise ConfigInvalid(
-                f"from_schema: type list not liftable for column {col!r} "
-                "(a physical column has one type)"
+        if isinstance(t, str):
+            out.append(TypeIs(column=col, json_type=t))
+        elif isinstance(t, list) and t and all(isinstance(x, str) for x in t):
+            # TypeValidator accepts string-or-array (Any.hs:260-291):
+            # the value's type must match ANY listed name. AnyOf of
+            # TypeIs — the engine rewrites nested TypeIs to per-row
+            # predicates against the actual column type (1.0 IS a
+            # draft-4 integer), so type arrays work on any column.
+            out.append(
+                AnyOf(checks=tuple(TypeIs(column=col, json_type=x) for x in t))
             )
-        out.append(TypeIs(column=col, json_type=t))
+        else:
+            raise ConfigInvalid(
+                f"from_schema: type for column {col!r} must be a string or a "
+                "non-empty list of strings"
+            )
     if "enum" in sub:
         vals = sub["enum"]
         if not all(isinstance(v, _SCALAR) for v in vals):
@@ -225,11 +244,24 @@ def _lift_column(col: str, sub: dict, root: dict, visiting: frozenset) -> list[R
                     additional=additional,
                 )
             )
-    if "properties" in sub or "required" in sub or "dependencies" in sub:
+    if "dependencies" in sub:
         raise ConfigInvalid(
-            f"from_schema: nested object schema under property {col!r} does not "
-            "flatten to one column — model it as its own table or a MapType column"
+            f"from_schema: dependencies under nested property {col!r} are not "
+            "liftable — model that object as its own table"
         )
+    if "properties" in sub or "required" in sub:
+        # nested object schema (Schema.hs properties recursion):
+        # flatten onto StructType dotted paths — `col.field` resolves
+        # to the struct field in Spark. `required` fields fire only
+        # when the parent struct is PRESENT (DependentSchema guard),
+        # matching the reference running a nested schema only on an
+        # existing object; other nested checks are vacuous on NULL
+        # fields anyway (and a NULL parent nulls every field).
+        req = tuple(Required(column=f"{col}.{f}") for f in sub.get("required", ()))
+        if req:
+            out.append(DependentSchema(when_column=col, checks=req))
+        for f, fsub in sub.get("properties", {}).items():
+            out.extend(_lift_column(f"{col}.{f}", fsub, root, visiting))
     for kw, cls in (("allOf", AllOf), ("anyOf", AnyOf), ("oneOf", OneOf)):
         if kw in sub:
             branches = []
@@ -285,18 +317,30 @@ def suite_from_schema(
         for c in lifted:
             checks.append(PatternColumns(name_regex=rx, check=c))
     ap = schema.get("additionalProperties", True)
+    declared = tuple(dict.fromkeys(list(props) + list(schema.get("required", ()))))
     if ap is False:
         checks.append(
             ColumnsAllowed(
-                columns=tuple(dict.fromkeys(list(props) + list(schema.get("required", ())))),
+                columns=declared,
                 patterns=tuple(schema.get("patternProperties", {})),
             )
         )
     elif ap is not True and ap != {}:
-        raise ConfigInvalid(
-            "from_schema: additionalProperties as a schema is not liftable — "
-            "declare the column in properties or use patternProperties"
-        )
+        # additionalProperties=SCHEMA (Properties.hs:199-209): every
+        # UNDECLARED column (matched by neither properties nor any
+        # patternProperties regex) gets the subschema's checks,
+        # expanded against the actual table columns at compile time
+        # a subschema lifting no checks (only annotations) is the empty
+        # schema — everything passes, same as additionalProperties=true
+        lifted = _lift_column("", ap, schema, visiting)
+        for c in lifted:
+            checks.append(
+                RemainderColumns(
+                    columns=declared,
+                    patterns=tuple(schema.get("patternProperties", {})),
+                    check=c,
+                )
+            )
     if "minProperties" in schema or "maxProperties" in schema:
         if not props:
             raise ConfigInvalid("from_schema: min/maxProperties needs declared properties")

@@ -336,6 +336,77 @@ class MapSize(RowCheck):
 
 @_register
 @dataclass(frozen=True)
+class MapRequiredKeys(RowCheck):
+    """`required` over MapType DATA keys (Object.hs:96-106): every key
+    in `keys` must be present in the map column. NULL map => vacuous
+    pass (type-mismatch => pass, Draft4.hs:28-33); the violation value
+    reports the missing keys (the reference's `RequiredInvalid _
+    leftovers _` detail)."""
+    kind: ClassVar[str] = "map_required_keys"
+    column: str = ""
+    keys: tuple = ()
+
+    def validate_config(self):
+        if not self.column or not self.keys:
+            raise ConfigInvalid("map_required_keys: column and keys must be set")
+
+
+@_register
+@dataclass(frozen=True)
+class MapKeysAllowed(RowCheck):
+    """additionalProperties over MapType DATA keys (Properties.hs:
+    175-209): the remainder — entries whose key is in neither `keys`
+    nor matched by any `patterns` regex (the patternProperties
+    remainder rule, "additional" = matched by NEITHER) — is governed by
+    `additional`: 'none' (fail iff the remainder is non-empty,
+    additionalProperties=false) or a SQL predicate over the entry VALUE
+    variable `x` applied to every remainder value
+    (additionalProperties=schema, Properties.hs:199-209).
+
+    Uncompilable `patterns` regexes are skipped silently
+    (Properties.hs:150-155) — they simply match nothing. NULL map =>
+    vacuous pass. The violation value reports the offending keys."""
+    kind: ClassVar[str] = "map_keys_allowed"
+    column: str = ""
+    keys: tuple = ()
+    patterns: tuple = ()
+    additional: str = "none"
+
+    def validate_config(self):
+        if not self.column:
+            raise ConfigInvalid("map_keys_allowed: column must be set")
+        if not self.keys and not self.patterns:
+            raise ConfigInvalid("map_keys_allowed: keys or patterns must be set")
+        if not self.additional:
+            raise ConfigInvalid(
+                "map_keys_allowed: additional must be 'none' or a SQL predicate over x"
+            )
+
+
+@_register
+@dataclass(frozen=True)
+class MapPatternValues(RowCheck):
+    """patternProperties over MapType DATA keys (Properties.hs:119-172):
+    every entry whose KEY matches `key_regex` must have a VALUE
+    satisfying the SQL predicate over `x`. An uncompilable regex makes
+    the check vacuous (that pattern is skipped silently,
+    Properties.hs:150-155 — contrast `pattern` on data, which fails).
+    NULL map => vacuous pass. The violation value reports the keys
+    whose values failed."""
+    kind: ClassVar[str] = "map_pattern_values"
+    column: str = ""
+    key_regex: str = ""
+    value_predicate: str = ""  # SQL expr over `x`, e.g. "cast(x as bigint) >= 0"
+
+    def validate_config(self):
+        if not self.column or not self.key_regex or not self.value_predicate:
+            raise ConfigInvalid(
+                "map_pattern_values: column, key_regex, value_predicate must be set"
+            )
+
+
+@_register
+@dataclass(frozen=True)
 class ArrayPositional(RowCheck):
     """items (array form) + additionalItems (Array.hs:162-167,
     209-225): the i-th SQL predicate (over element variable `x`)
@@ -540,6 +611,37 @@ class PatternColumns(SchemaCheck):
         }:
             raise ConfigInvalid(
                 "pattern_columns: check must be a row check with a `column` field"
+            )
+        import dataclasses
+
+        dataclasses.replace(self.check, column="_template_").validate_config()
+
+
+@_register
+@dataclass(frozen=True)
+class RemainderColumns(SchemaCheck):
+    """additionalProperties=SCHEMA lifted to column scope
+    (Properties.hs:199-209): the row-check template `check` is
+    instantiated at compile time for every table column matched by
+    NEITHER `columns` nor any `patterns` regex (the same remainder rule
+    ColumnsAllowed enforces for additionalProperties=false).
+    Uncompilable patterns are skipped silently (Properties.hs:150-155).
+    """
+    kind: ClassVar[str] = "remainder_columns"
+    columns: tuple = ()
+    patterns: tuple = ()
+    check: Check | None = None
+
+    def validate_config(self):
+        # same template convention as PatternColumns: `column` is empty
+        # until expansion, validated with a placeholder
+        if self.check is None:
+            raise ConfigInvalid("remainder_columns: check must be set")
+        if not isinstance(self.check, RowCheck) or "column" not in {
+            f.name for f in fields(type(self.check))
+        }:
+            raise ConfigInvalid(
+                "remainder_columns: check must be a row check with a `column` field"
             )
         import dataclasses
 
@@ -1025,9 +1127,13 @@ def referenced_columns(check: Check) -> set[str]:
     so the engine can fail fast on misspelled columns. Deliberately
     excluded: Custom (opaque SQL), ColumnsAllowed (declares ALLOWED
     names — absence is fine), PatternColumns (regex over names),
-    RefIntegrity.ref_columns (vocab-table side), and TypeIs (absence is
-    a failing schema VERDICT, not a config error)."""
-    if isinstance(check, (Custom, ColumnsAllowed, PatternColumns, TypeIs)):
+    RefIntegrity.ref_columns (vocab-table side), RemainderColumns
+    (declares DECLARED names — the remainder is whatever else exists),
+    and TypeIs (absence is a failing schema VERDICT, not a config
+    error)."""
+    if isinstance(
+        check, (Custom, ColumnsAllowed, PatternColumns, RemainderColumns, TypeIs)
+    ):
         return set()
     out: set[str] = set()
     for f in _SINGLE_COL_FIELDS:

@@ -506,10 +506,13 @@ def embedding_near_duplicates(
 
 def incremental_dedup(
     new_df: DataFrame,
-    state_path: str,
-    batch_id: int,
+    state_path: str | None = None,
+    batch_id: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    state_table: str | None = None,
+    state_location: str | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Exact dedup of one ingestion batch against a PERSISTENT
     fingerprint store — the incremental complement of
@@ -541,14 +544,31 @@ def incremental_dedup(
     pair with checks/checkpoint.py's two-phase batch ledger when a crash
     between append and downstream commit matters.
 
-    Scale notes (100 TB): both sides shuffle on fingerprint for the
-    join; the state side dominates, so store it bucketed BY fingerprint
-    (Iceberg bucket transform / Spark bucketBy) to make every batch's
-    join a one-sided shuffle of just the (small) batch. Reference
-    lineage: uniqueItems lifted to table scope and then across TIME
-    (Array.hs:73-77), same lift as streaming/stateful.py.
+    Scale shape (100 TB): both sides of the history join hash on
+    fingerprint, and the STATE side dominates (it is the whole corpus's
+    fingerprint set, the batch is one drop). Store the state BUCKETED
+    by fingerprint so each batch's join shuffles only the batch:
+
+    - ``state_table`` (+ optional ``state_location``): a Spark
+      parquet table bucketed by ``bucketBy(n_buckets, fingerprint)`` —
+      the bucketed scan satisfies the join's hash-clustering
+      requirement, so the executed plan has NO state-side Exchange
+      (pinned by test_plans.py); only the batch shuffles, into
+      ``n_buckets`` partitions. The min-reduce over the state is
+      likewise exchange-free. On Iceberg, the same layout is
+      ``PARTITIONED BY (bucket(N, fingerprint))`` — this parquet
+      ``bucketBy`` path is the sandbox fallback (sources/tables.py
+      convention).
+    - ``state_path``: plain parquet at a path (no bucket metadata —
+      both sides shuffle). Kept for zero-catalog deployments.
+
+    Reference lineage: uniqueItems lifted to table scope and then
+    across TIME (Array.hs:73-77), same lift as streaming/stateful.py.
     """
     import os
+
+    if (state_path is None) == (state_table is None):
+        raise ValueError("incremental_dedup: exactly one of state_path/state_table")
 
     spark = new_df.sparkSession
     fp = fan_out(new_df).select(
@@ -556,12 +576,14 @@ def incremental_dedup(
     )
     batch_groups = fp.groupBy("fingerprint").agg(F.min(id_col).alias("_batch_keep"))
     tagged = fp.join(batch_groups, "fingerprint")
-    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
-        hist = (
-            spark.read.parquet(state_path)
-            .groupBy("fingerprint")
-            .agg(F.min("first_id").alias("_hist_id"))
-        )
+    if state_table is not None:
+        state_exists = spark.catalog.tableExists(state_table)
+        hist_src = spark.table(state_table) if state_exists else None
+    else:
+        state_exists = os.path.exists(os.path.join(state_path, "_SUCCESS"))
+        hist_src = spark.read.parquet(state_path) if state_exists else None
+    if hist_src is not None:
+        hist = hist_src.groupBy("fingerprint").agg(F.min("first_id").alias("_hist_id"))
     else:
         hist = spark.createDataFrame([], "fingerprint string, _hist_id long")
     tagged = tagged.join(hist, "fingerprint", "left")
@@ -574,14 +596,21 @@ def incremental_dedup(
         .alias("status"),
         F.coalesce("_hist_id", "_batch_keep").alias("canonical_id"),
     ).localCheckpoint(eager=True)
-    (
-        result.filter(F.col("status") == "new")
-        .select(
-            "fingerprint",
-            F.col(id_col).alias("first_id"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
-        )
-        .write.mode("append")
-        .parquet(state_path)
+    accepted = result.filter(F.col("status") == "new").select(
+        "fingerprint",
+        F.col(id_col).alias("first_id"),
+        F.lit(batch_id).cast("long").alias("batch_id"),
     )
+    if state_table is not None:
+        w = (
+            accepted.write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "fingerprint")
+            .sortBy("fingerprint")
+        )
+        if state_location is not None and not state_exists:
+            w = w.option("path", state_location)
+        w.saveAsTable(state_table)
+    else:
+        accepted.write.mode("append").parquet(state_path)
     return result

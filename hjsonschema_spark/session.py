@@ -72,6 +72,15 @@ def get_spark(
         # real cluster shuffle disks scale with nodes, so tmpfs is the
         # faithful proxy (cluster deployments override via SPARK_LOCAL_DIRS)
         .config("spark.local.dir", _local_dir())
+        # managed-table home (bucketed fingerprint stores etc.) — keep
+        # it on scratch space, never the working directory; production
+        # deployments point this at the real catalog/warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", os.path.join(_local_dir(), "warehouse")
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

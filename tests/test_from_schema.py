@@ -139,23 +139,26 @@ def test_ref_loop_and_unresolvable():
 
 
 def test_non_liftable_shapes_raise():
-    with pytest.raises(ConfigInvalid, match="type list"):
+    with pytest.raises(ConfigInvalid, match="string or a"):
         suite_from_schema(
-            {"type": "object", "properties": {"x": {"type": ["string", "null"]}}},
+            {"type": "object", "properties": {"x": {"type": 42}}},
             name="tl", key_columns=("x",),
         )
-    with pytest.raises(ConfigInvalid, match="nested object"):
+    with pytest.raises(ConfigInvalid, match="dependencies under nested"):
         suite_from_schema(
             {"type": "object",
-             "properties": {"x": {"properties": {"y": {"type": "string"}}}}},
+             "properties": {"x": {"properties": {"y": {"type": "string"}},
+                                  "dependencies": {"y": ["z"]}}}},
             name="no", key_columns=("x",),
         )
-    with pytest.raises(ConfigInvalid, match="additionalProperties as a schema"):
-        suite_from_schema(
-            {"type": "object", "properties": {"x": {"type": "string"}},
-             "additionalProperties": {"type": "string"}},
-            name="ap", key_columns=("x",),
-        )
+    # additionalProperties as a schema now LIFTS (RemainderColumns);
+    # a purely-annotational subschema lifts nothing, like ap=true
+    s = suite_from_schema(
+        {"type": "object", "properties": {"x": {"type": "string"}},
+         "additionalProperties": {"title": "vacuous"}},
+        name="ap", key_columns=("x",),
+    )
+    assert not any(type(c).__name__ == "RemainderColumns" for c in s.checks)
     with pytest.raises(ConfigInvalid, match="top-level"):
         suite_from_schema({"type": "array"}, name="arr", key_columns=("x",))
 

@@ -31,7 +31,7 @@ CORPUS = "/root/reference/JSON-Schema-Test-Suite/tests/draft4"
 FILES = [
     "minimum", "maximum", "minLength", "maxLength", "pattern", "enum",
     "multipleOf", "maxItems", "minItems", "uniqueItems", "items",
-    "additionalItems", "allOf", "anyOf", "oneOf", "not",
+    "additionalItems", "allOf", "anyOf", "oneOf", "not", "type",
 ]
 
 NUMERIC_KEYWORDS = {"minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum", "multipleOf"}

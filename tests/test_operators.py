@@ -521,3 +521,61 @@ def test_incremental_dedup(spark, tmp_path):
     assert spark.read.parquet(state).count() == n_state
     # state holds exactly the distinct corpus fingerprints
     assert n_state == 4  # alpha-beta-gamma, delta-epsilon, zeta-eta, theta-iota
+
+
+def test_incremental_dedup_bucketed_state(spark, tmp_path):
+    """state_table mode: the fingerprint store is a Spark table
+    bucketed by fingerprint (the parquet fallback for Iceberg's
+    bucket(N, fingerprint) transform), so the history join and the
+    min-reduce read the state WITHOUT a state-side exchange — only the
+    batch shuffles (dedup.py scale note, round-2 PLANS.md item)."""
+    table = "fp_state_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = str(tmp_path / "fp_state_tbl")
+
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "ALPHA  beta gamma"), (12, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    r1 = dedup.incremental_dedup(
+        b1, state_table=table, state_location=loc, batch_id=1, n_buckets=4
+    )
+    got1 = {r["doc_id"]: (r["status"], r["canonical_id"]) for r in r1.collect()}
+    r1.unpersist()
+    assert got1 == {10: ("new", 10), 11: ("dup_in_batch", 10), 12: ("new", 12)}
+
+    # replay KAT: same semantics as the path mode
+    b2 = spark.createDataFrame(
+        [(20, "alpha beta gamma"), (21, "zeta eta")], "doc_id long, text string"
+    )
+    r2 = dedup.incremental_dedup(b2, state_table=table, batch_id=2, n_buckets=4)
+    got2 = {r["doc_id"]: (r["status"], r["canonical_id"]) for r in r2.collect()}
+    r2.unpersist()
+    assert got2 == {20: ("dup_historical", 10), 21: ("new", 21)}
+    assert spark.table(table).count() == 3  # abg, de, ze
+
+    # plan pins: (a) the min-reduce over the bucketed store is
+    # exchange-free (the bucketed scan already satisfies the hash
+    # clustering); (b) a sort-merge join against it shuffles ONLY the
+    # probe side (exactly one hash exchange, on the non-bucketed side)
+    from pyspark.sql import functions as F
+
+    hist = spark.table(table).groupBy("fingerprint").agg(F.min("first_id"))
+    agg_plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in agg_plan, agg_plan
+
+    batch = b2.select(
+        "doc_id", dedup.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    joined = batch.join(spark.table(table).hint("merge"), "fingerprint")
+    join_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert join_plan.count("Exchange hashpartitioning") == 1, join_plan
+
+    # config guard: exactly one state mode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup.incremental_dedup(b2, state_path="/x", state_table=table)
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup.incremental_dedup(b2)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
