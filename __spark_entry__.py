@@ -960,6 +960,57 @@ def _schema_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nested_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested object schemas flattened onto StructType dotted paths
+    (from_schema recursion per Schema.hs properties recursion): build a
+    two-level struct column from events, compile a draft-4 schema whose
+    `meta` property carries its own properties/required (including a
+    second-level `usage` object), and run the compiled suite. Nested
+    `required` is guarded on parent-struct presence (DependentSchema);
+    leaf checks run on dotted paths inside the SAME fused row pass as
+    any flat check — no extra scan, no exchange. Oracle: per-branch
+    UNION ALL over the base columns."""
+    from hjsonschema_spark.checks.from_schema import suite_from_schema
+
+    # the base table has no NULLs, so nullability is synthesized
+    # deterministically (identically in the oracle) so every branch —
+    # nested required at both depths, pattern, both bounds — fires at
+    # parity scale rather than passing vacuously
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "meta",
+        F.struct(
+            F.expr("nullif(event_type, 'error')").alias("etype"),
+            F.struct(
+                F.expr("CASE WHEN user_id % 50 = 0 THEN NULL ELSE value END").alias("v"),
+                (F.col("user_id") % 100).alias("u"),
+            ).alias("usage"),
+        ),
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "meta": {
+                "required": ["etype"],
+                "properties": {
+                    "etype": {"type": "string", "pattern": "^[a-z]{4,6}$"},
+                    "usage": {
+                        "required": ["v"],
+                        "properties": {
+                            "v": {"minimum": 0, "maximum": 300},
+                            "u": {"maximum": 95},
+                        },
+                    },
+                },
+            }
+        },
+    }
+    suite = suite_from_schema(schema, name="events_nested", key_columns=("event_id",))
+    res = run_suite(ev, suite)
+    return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
+        "column", "col_name"
+    )
+
+
 def _pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scan + redaction parity (operators/pii.py). The synthetic
     corpus contains no organic PII, so deterministic PII is derived
@@ -1061,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split_documents": _leakage_split_documents,
         "sample_stratified_documents": _sample_stratified_documents,
         "schema_suite_events": _schema_suite_events,
+        "nested_struct_events": _nested_struct_events,
         "pii_documents": _pii_documents,
         "sessionize_events": _sessionize_events,
         "pack_sequences_documents": _pack_sequences_documents,
@@ -2011,6 +2063,30 @@ SELECT e.event_id, 'unique_key:event_id', 'event_id', CAST(d.n AS VARCHAR)
 FROM events e JOIN (
   SELECT event_id, count(*) AS n FROM events GROUP BY 1 HAVING count(*) > 1
 ) d USING (event_id)
+"""
+    sql["nested_struct_events"] = r"""
+WITH b AS (
+  SELECT event_id, nullif(event_type, 'error') AS etype,
+         CASE WHEN user_id % 50 = 0 THEN NULL ELSE value END AS v,
+         user_id % 100 AS u
+  FROM events
+)
+SELECT event_id, 'dependent_schema:meta(required:meta.etype)' AS check_name,
+       'meta' AS col_name, '{"failed_branches":[0]}' AS value
+FROM b WHERE etype IS NULL
+UNION ALL
+SELECT event_id, 'pattern:meta.etype', 'meta.etype', etype
+FROM b WHERE etype IS NOT NULL AND NOT regexp_matches(etype, '^[a-z]{4,6}$')
+UNION ALL
+SELECT event_id, 'dependent_schema:meta.usage(required:meta.usage.v)',
+       'meta.usage', '{"failed_branches":[0]}'
+FROM b WHERE v IS NULL
+UNION ALL
+SELECT event_id, 'bounds:meta.usage.v', 'meta.usage.v', CAST(v AS VARCHAR)
+FROM b WHERE v IS NOT NULL AND NOT (v >= 0 AND v <= 300)
+UNION ALL
+SELECT event_id, 'bounds:meta.usage.u', 'meta.usage.u', CAST(u AS VARCHAR)
+FROM b WHERE u IS NOT NULL AND NOT (u <= 95)
 """
     # PII patterns are shared verbatim with the Spark op — written in
     # the Java-regex/RE2 common subset (tests/test_pii.py pins the
