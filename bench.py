@@ -289,20 +289,28 @@ def main_transcripts_only() -> None:
     # evicted, and a disk-bound control measures the shared disk — the
     # same ~600MB/s at any core count — not the memory ceiling)
     ctl = [run_control_scan(spark, df) for _ in range(3)]
-    # 5 measured runs: host noise on this shared VM produces isolated
-    # 2-3x outlier runs (measured 46.8 / 92.0 / 35.8 in one child);
-    # median-of-5 tolerates two outliers where median-of-3 flips on one.
-    # Paired-mode children run fewer (SPARK_GRAFT_SCALING_RUNS): there
-    # the noise defense is pairing, not medians.
+    # Estimator: min-of-N wall (= max tps), same as the headline child
+    # and every per-query bench number (commits aac4e92, 8c1ef32).
+    # Hypervisor steal on this shared VM is strictly ADDITIVE noise —
+    # isolated 2-5x outlier runs (measured 46.8 / 92.0 / 35.8 in one
+    # child; 63.7 vs 347.0 in another) — so min-of-N is the maximum-
+    # likelihood estimate of the clean wall. A median over n=2 (the
+    # paired-mode run count) degenerates to WORSE-of-2, biasing every
+    # pair efficiency downward whenever steal hits any one of the 4
+    # measured runs; min-of-2 sheds exactly that one-sided spike.
+    # The control uses min-of-3 for the same reason — a mixed
+    # estimator (min engine / median control) would skew the
+    # normalized efficiency instead of cancelling host state.
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "5"))
     runs = [run_transcripts_job(spark, df) for _ in range(n_runs)]
-    out = sorted(runs, key=lambda r: r["wall_sec"])[len(runs) // 2]  # median
+    out = min(runs, key=lambda r: r["wall_sec"])  # min-of-N
     out["cpus"] = CPUS
     out["runs_sec"] = [round(r["wall_sec"], 2) for r in runs]
+    out["median_tps"] = round(
+        sorted(r["turns_per_sec"] for r in runs)[len(runs) // 2], 1
+    )
     out["best_tps"] = round(max(r["turns_per_sec"] for r in runs), 1)
-    out["control_tps"] = round(
-        sorted(c["turns_per_sec"] for c in ctl)[1], 1
-    )  # median
+    out["control_tps"] = round(max(c["turns_per_sec"] for c in ctl), 1)  # min-wall
     print(json.dumps(out))
     spark.stop()
 
@@ -518,8 +526,13 @@ Faithfulness of the proxy (see bench.py `main_scaling`):
   (this sandbox has ONE shared disk whose bandwidth does not grow
   with threads; on a real cluster scan bandwidth scales with
   executors), TWO warm-up runs (cache fill, then C2-JIT steady
-  state), median of 5 measured runs, `res.unpersist()` between runs,
-  shuffle on tmpfs.
+  state), min-of-N measured runs (N=5 sequential, N=2 paired; min —
+  not median — because hypervisor steal is strictly additive, so the
+  fastest run is the maximum-likelihood clean wall, the same estimator
+  as every per-query bench number), `res.unpersist()` between runs,
+  shuffle on tmpfs. The engine and its hardware control use the same
+  min-wall estimator so the normalized ratio cancels host state
+  instead of mixing estimators.
 
 Reproduce: `python bench.py --scaling`
 (env `SPARK_GRAFT_SCALING_CONVS`, default 16,000,000 conversations).
