@@ -369,8 +369,63 @@ def main_scaling() -> None:
         # anywhere in the session yields one clean pair. Fewer runs per
         # child (2) — the noise defense is pairing, not medians.
         n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "4"))
+
+        # Per-pair clean-window gate: a pair measured in a degraded
+        # window CANNOT qualify under the campaign criterion (raw
+        # >= 0.8 needs a clean host; the ctl >= 0.85 + normalized
+        # >= 1.0 alternative needs a clean control by definition), so
+        # burning ~15 min on a pair while the hypervisor is stealing
+        # is pure waste. Before each pair, run the 20s host probe
+        # (BENCH/host_probe.py); while its L2-resident compute probe
+        # reads below the gate, sleep and re-probe instead, up to a
+        # wait budget per pair — after which the pair runs anyway
+        # (a dirty pair still contributes normalized evidence).
+        gate = float(os.environ.get("SPARK_GRAFT_PAIR_GATE", "0.9"))
+        gate_budget = int(os.environ.get("SPARK_GRAFT_PAIR_GATE_BUDGET", "1500"))
+
+        def _probe_eff() -> float | None:
+            probe = os.path.join(REPO, "BENCH", "host_probe.py")
+            if not os.path.exists(probe):
+                return None
+            try:
+                p = subprocess.run(
+                    [sys.executable, probe], capture_output=True, text=True,
+                    timeout=180,
+                )
+                return json.loads(p.stdout.strip().splitlines()[-1])["compute_eff"]
+            except Exception:
+                return None  # a broken probe must never block sampling
+
+        def _wait_for_clean_window(k: int) -> None:
+            if gate <= 0:
+                return
+            waited = 0.0
+            while True:
+                eff = _probe_eff()
+                if eff is None or eff >= gate:
+                    print(
+                        f"[paired] pair {k}: probe {eff} — proceeding",
+                        file=sys.stderr,
+                    )
+                    return
+                if waited >= gate_budget:
+                    print(
+                        f"[paired] pair {k}: probe {eff} < {gate} but wait "
+                        f"budget exhausted ({waited:.0f}s) — proceeding dirty",
+                        file=sys.stderr,
+                    )
+                    return
+                print(
+                    f"[paired] pair {k}: probe {eff} < {gate} — degraded "
+                    f"window, sleeping 120s ({waited:.0f}/{gate_budget}s)",
+                    file=sys.stderr,
+                )
+                time.sleep(120)
+                waited += 120
+
         pairs = []
         for k in range(n_pairs):
+            _wait_for_clean_window(k)
             r8 = _child(8, {"SPARK_GRAFT_SCALING_RUNS": "2"})
             r32 = _child(32, {"SPARK_GRAFT_SCALING_RUNS": "2"})
             e = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
@@ -545,7 +600,13 @@ interleaves K (default 4) back-to-back N→4N pairs, ~8 min apart within
 a pair, so slow drift cancels; the row reports the MEDIAN pair (its
 tps on both sides) and `best-run eff` is the best pair's best-run
 ratio. One clean ~10-min window anywhere in the session yields one
-clean pair.
+clean pair. Each pair is preceded by a 20s host probe
+(`BENCH/host_probe.py`): while the L2-resident compute probe reads
+below 0.9 (env `SPARK_GRAFT_PAIR_GATE`), the harness sleeps instead
+of measuring — a pair taken in a degraded window cannot qualify under
+the evidence criterion, so the wall-clock is better spent waiting
+(bounded by `SPARK_GRAFT_PAIR_GATE_BUDGET`, default 25 min, after
+which the pair runs anyway for normalized evidence).
 
 ## Measured samples (full history, newest last)
 
