@@ -86,12 +86,18 @@ def main() -> int:
     if "--pairs-per-iter" in argv:
         pairs = argv[argv.index("--pairs-per-iter") + 1]
     t_start = time.time()
+    # --since TS: count qualifying pairs from an earlier epoch (e.g.
+    # the round start) so a relaunched campaign does not forget pairs
+    # already banked by a previous invocation this round.
+    t_count = t_start
+    if "--since" in argv:
+        t_count = float(argv[argv.index("--since") + 1])
     _log({"event": "campaign_start", "max_iters": max_iters, "pairs_per_iter": pairs})
     for i in range(max_iters):
         if os.path.exists(STOP):
             _log({"event": "stopped_by_file", "iter": i})
             break
-        got = _clean_pairs_so_far(t_start)
+        got = _clean_pairs_so_far(t_count)
         if got >= SUCCESS_PAIRS:
             _log({"event": "success", "clean_pairs": got, "iter": i})
             break
@@ -99,24 +105,34 @@ def main() -> int:
         _log({"event": "probe", "iter": i, **probe})
         env = dict(os.environ, SPARK_GRAFT_SCALING_PAIRS=pairs)
         t0 = time.time()
-        p = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling", "--paired"],
-            env=env, capture_output=True, text=True, timeout=7200,
-        )
-        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
-        sample = json.loads(lines[-1]) if (p.returncode == 0 and lines) else None
+        # Timeout headroom: pairs (~18 min each) + the per-pair
+        # clean-window gate (<= 25 min wait each) can stack; a
+        # TimeoutExpired must degrade to a logged failed iteration,
+        # never kill the campaign loop.
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--scaling", "--paired"],
+                env=env, capture_output=True, text=True, timeout=14400,
+            )
+            rc, out, err = p.returncode, p.stdout, p.stderr
+        except subprocess.TimeoutExpired as e:
+            rc, out, err = -9, (e.stdout or ""), f"campaign-level timeout: {e}"
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+        lines = [l for l in out.strip().splitlines() if l.startswith("{")]
+        sample = json.loads(lines[-1]) if (rc == 0 and lines) else None
         _log(
             {
                 "event": "sample",
                 "iter": i,
-                "rc": p.returncode,
+                "rc": rc,
                 "wall_min": round((time.time() - t0) / 60, 1),
                 "pair_effs": sample and sample.get("pair_effs"),
                 "pair_ctl_effs": sample and sample.get("pair_ctl_effs"),
-                "stderr_tail": None if sample else p.stderr[-800:],
+                "stderr_tail": None if sample else (err or "")[-800:],
             }
         )
-    got = _clean_pairs_so_far(t_start)
+    got = _clean_pairs_so_far(t_count)
     _log({"event": "campaign_end", "clean_pairs": got, "wall_min": round((time.time() - t_start) / 60, 1)})
     return 0
 
