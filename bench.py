@@ -274,9 +274,22 @@ def main_transcripts_only() -> None:
     # run_transcripts_job (a 15s periodicGC injected stop-the-world
     # full-GC pauses INTO measured runs, costing the 64g/32-thread
     # child several seconds per run).
+    # Event logs (cheap at this task count — hundreds of task events
+    # per run) give a stage-level timeline per child: scheduling gaps,
+    # per-stage walls, straggler tasks, GC time. That is the offline
+    # evidence for WHERE a 32-thread run loses its scaling, without
+    # spending a separate profiled Spark session.
+    elog_dir = os.environ.get(
+        "SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark_graft_eventlogs"
+    )
+    os.makedirs(elog_dir, exist_ok=True)
     spark = get_spark(
         app_name=f"bench-scaling-{CPUS}", cores=CPUS,
-        extra_conf={"spark.cleaner.periodicGC.interval": "120s"},
+        extra_conf={
+            "spark.cleaner.periodicGC.interval": "120s",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": elog_dir,
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(_ensure_transcripts(spark)).persist()
