@@ -763,9 +763,22 @@ def run_ordered_fused(
 ) -> list[DataFrame]:
     """Fused per-group ordered pass: uniqueness + contiguity +
     monotonicity checks that share (group_by, order_col) evaluate over
-    ONE hash(group_by) exchange and one (group_by, order_col) sort,
-    instead of one shuffle each. Violation outputs are IDENTICAL to the
-    per-check passes (run_unique_key / run_contiguous / run_monotonic).
+    ONE hash(group_by) exchange, one (group_by, order_col) sort, and
+    ONE WindowExec, instead of one shuffle each. Violation outputs are
+    IDENTICAL to the per-check passes (run_unique_key / run_contiguous
+    / run_monotonic).
+
+    Every window expression shares the (g, order o) spec with only
+    streaming frames — offset (lag/lead), running (min/max/count,
+    row_number/dense_rank), and order-peer (RANGE current..current for
+    the duplicate count) — so CollapseWindow folds them into a single
+    operator and nothing buffers whole groups. The previous design
+    (four specs, two with unbounded partition frames materializing
+    every group into an UnsafeExternalRowBuffer) measured 3.5us/row at
+    8 threads inflating to 12-17us/row at 32 on one socket: the
+    buffer copies were both the dominant CPU and the worst
+    memory-contention amplifier, capping N->4N scaling of the whole
+    suite at ~0.45 (event logs, BENCH/analyze_eventlog.py).
     """
     from pyspark.sql import Window
 
@@ -776,28 +789,56 @@ def run_ordered_fused(
     needed = list(dict.fromkeys([*g, order_col, *(mc.column for mc in monos or []), *key_columns]))
     # pin a single exchange: every window below is satisfied by hash(g)
     base = df.select(*needed).repartition(*g)
-    w_key = Window.partitionBy(*g, order_col)
-    w_grp = Window.partitionBy(*g)
     w_ord = Window.partitionBy(*g).orderBy(order_col)
     if unique is not None:
-        base = base.withColumn("_kc", F.count(F.lit(1)).over(w_key))
+        # duplicate-key count as the ORDER-PEER group size: a RANGE
+        # (current row, current row) frame over the (g, o) sort is
+        # exactly the tie block of o within g — same value as a
+        # count over partitionBy(g, o), but it shares w_ord's spec so
+        # it folds into the same WindowExec instead of adding a
+        # second partition pass (NULL ties group together in both
+        # formulations; NULL-keyed rows are filtered below anyway).
+        base = base.withColumn(
+            "_kc",
+            F.count(F.lit(1)).over(
+                w_ord.rangeBetween(Window.currentRow, Window.currentRow)
+            ),
+        )
     for i, mc in enumerate(monos or []):
         base = base.withColumn(f"_prev_{i}", F.lag(F.col(mc.column)).over(w_ord))
     if contig is not None:
+        # Group statistics via RUNNING aggregates read at each group's
+        # LAST row, not whole-group window frames. An unbounded
+        # Window.partitionBy(g) frame buffers every group's rows in an
+        # UnsafeExternalRowBuffer before emitting — measured as the
+        # dominant CPU (and the worst 32-thread memory-contention
+        # amplifier) of the fused pass at 8e7 rows. Running frames
+        # (RANGE UNBOUNDED PRECEDING..CURRENT ROW over the same sort)
+        # stream instead: at the group's last row the running min /
+        # max / count / distinct-transition sum equal the group totals,
+        # and the emitted violation row is IDENTICAL — group-scope
+        # rows NULL the non-group key columns, so which row of the
+        # group emits is unobservable in the output.
+        # Every expression here shares the (g, order o) spec and none
+        # depends on another window output, so CollapseWindow merges
+        # them with the monos' lags into ONE WindowExec (plus _kc's).
+        # NULL-excluding distinct count without a second pass:
+        # dense_rank at the last row = #distinct values of o INCLUDING
+        # the NULL group (NULLS FIRST sorts it as one leading value),
+        # and the group contains NULLs iff row_number > count(o), so
+        # subtracting that indicator yields count_distinct(o) —
+        # matching run_contiguous and the SQL oracle.
         base = (
-            base.withColumn("_rnk", F.row_number().over(w_key.orderBy(order_col)))
-            .withColumn("_mn", F.min(o).over(w_grp))
-            .withColumn("_mx", F.max(o).over(w_grp))
-            .withColumn("_n", F.count(o).over(w_grp))
-            # NULL-excluding distinct count: a NULL order_column forms
-            # its own w_key partition and would count as one "distinct"
-            # value, diverging from run_contiguous's count_distinct
-            # (NULL-excluding) and the SQL oracle's count(DISTINCT)
+            base.withColumn("_last", F.lead(F.lit(1)).over(w_ord).isNull())
+            .withColumn("_mn", F.min(o).over(w_ord))
+            .withColumn("_mx", F.max(o).over(w_ord))
+            .withColumn("_n", F.count(o).over(w_ord))
+            .withColumn("_rn", F.row_number().over(w_ord))
+            .withColumn("_dr", F.dense_rank().over(w_ord))
             .withColumn(
                 "_nd",
-                F.sum(((F.col("_rnk") == 1) & o.isNotNull()).cast("long")).over(w_grp),
+                F.col("_dr") - (F.col("_rn") > F.col("_n")).cast("long"),
             )
-            .withColumn("_grn", F.row_number().over(w_ord))
         )
     # Assemble every fused check's violation as an element of ONE
     # per-row array and explode — the same shape as the fused row pass.
@@ -838,7 +879,7 @@ def run_ordered_fused(
             )
         )
     if contig is not None:
-        bad_grp = (F.col("_grn") == 1) & (
+        bad_grp = F.col("_last") & (
             (F.col("_mn") != contig.start)
             | (F.col("_mx") - F.col("_mn") + 1 != F.col("_n"))
             | (F.col("_nd") != F.col("_n"))
