@@ -682,12 +682,29 @@ control efficiency 0.84 in the same sample). CPU-steal/timer trouble
 (kernel hrtimer-stall logged; one child JVM killed outright) hits
 exchange-heavy phases, not streaming scans.
 
+Round 3 closed the loop on WHY clean-window engine efficiency still
+sat at 0.4-0.7 while the control scaled 0.95: per-child Spark event
+logs (captured by default, `BENCH/analyze_eventlog.py`) showed the
+ordered-trio reduce stage — 4 WindowExec operators, two buffering
+whole groups into UnsafeExternalRowBuffers — inflating from 3.5us/row
+at 8 threads to 12-17us/row at 32 (1081 vs 290 CPU-s for the same
+stage; zero spill), a one-socket memory-contention tax the streaming
+control never pays. The pass was rewritten to a SINGLE streaming
+WindowExec (lag/lead + running aggregates + dense_rank distinct
+count + order-peer duplicate count over one spec; see PLANS.md
+"Round-3 scaling root-cause"). First A/B after the fix, same input and
+protocol, clean probe: local[32] 22.3s / 3.69M turns/s (previous
+best-ever 31s), local[8] 74.6s / 1.10M turns/s — RAW pair efficiency
+0.837 with control 0.943. Samples from 08-19 03:15 onward measure the
+rewritten operator.
+
 ## Engine-side scaling properties (verified via plans + event logs)
 
 - One input scan per row pass (violations AND per-partition verdicts
   derive from one persisted slim pass — round-1 judge item fixed).
 - The fused ordered checks (UniqueKey + Contiguous + Monotonic over
-  the same key prefix) share ONE hash exchange.
+  the same key prefix) share ONE hash exchange, one sort, and ONE
+  streaming WindowExec (round-3: no whole-group window buffering).
 - Broadcast joins for dims/vocabs (no unconditional broadcast hints —
   AQE decides at runtime), map-side partial aggregation everywhere,
   AQE skew-join splitting for skewed conv_ids, no driver-side loops.
