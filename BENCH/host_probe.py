@@ -32,9 +32,31 @@ def _worker(core: int, q: Queue, nbytes: int) -> None:
     q.put(n * a.nbytes / dt)
 
 
-def measure(cores: list, nbytes: int) -> float:
+def _rand_worker(core: int, q: Queue, nbytes: int) -> None:
+    """Random-gather probe: scattered DRAM loads over a working set far
+    beyond LLC — the access pattern of the engine's sort/window stage
+    (UnsafeExternalSorter pointer dereferences), which the streaming
+    probes above cannot feel. The documented bimodal host regime
+    (identical window tasks at ~4.4s vs ~15s; see BENCH/BASELINE.md)
+    taxes exactly this pattern, so its 8->32 scaling is the regime
+    detector the L2 compute probe is blind to."""
+    os.sched_setaffinity(0, {core})
+    rng = np.random.default_rng(core)
+    a = rng.random(nbytes // 8)
+    idx = rng.integers(0, a.size, 4 * 1024 * 1024)
+    a[idx].sum()  # warm
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < SECS:
+        a[idx].sum()
+        n += 1
+    dt = time.perf_counter() - t0
+    q.put(n * idx.size / dt)  # random loads / sec
+
+
+def measure(cores: list, nbytes: int, worker=_worker) -> float:
     q: Queue = Queue()
-    ps = [Process(target=_worker, args=(c, q, nbytes)) for c in cores]
+    ps = [Process(target=worker, args=(c, q, nbytes)) for c in cores]
     for p in ps:
         p.start()
     vals = [q.get(timeout=120) for _ in ps]
@@ -57,13 +79,24 @@ def main() -> None:
     bw8 = measure(list(range(8)), MB * 1024 * 1024)
     bw32 = measure(list(range(32)), MB * 1024 * 1024)
     beff = bw32 / (4 * bw8)
+    # random-access probe: 256 MB working set per worker, scattered
+    # gathers — the sort/window-stage access pattern. Low rand_eff with
+    # a clean compute probe = the memory-stall regime in which the
+    # engine's exchange-heavy 32-thread runs inflate ~2x while the
+    # streaming control stays clean.
+    r8 = measure(list(range(8)), 256 * 1024 * 1024, worker=_rand_worker)
+    r32 = measure(list(range(32)), 256 * 1024 * 1024, worker=_rand_worker)
+    reff = r32 / (4 * r8)
     print(
         json.dumps(
             {
                 "compute_eff": round(ceff, 3),
                 "bandwidth_eff": round(beff, 3),
+                "rand_eff": round(reff, 3),
                 "gbps_8": round(bw8 / 1e9, 2),
                 "gbps_32": round(bw32 / 1e9, 2),
+                "mrps_8": round(r8 / 1e6, 1),
+                "mrps_32": round(r32 / 1e6, 1),
                 "clean": ceff >= 0.9,
                 "ts": time.time(),
             }

@@ -394,9 +394,17 @@ def main_scaling() -> None:
         # wait budget per pair — after which the pair runs anyway
         # (a dirty pair still contributes normalized evidence).
         gate = float(os.environ.get("SPARK_GRAFT_PAIR_GATE", "0.9"))
+        # rand_eff gate (default on, 0 disables): the L2 compute probe
+        # is blind to the memory-stall regime (controls read 0.95 while
+        # engine pairs land 0.43-0.47; see scaling_samples 08-19), but
+        # the random-gather probe feels exactly the sort/window access
+        # pattern that regime taxes. Gate threshold is deliberately
+        # modest until per-pair correlation data accumulates
+        # (pair_probes below records it for every pair).
+        rand_gate = float(os.environ.get("SPARK_GRAFT_PAIR_GATE_RAND", "0"))
         gate_budget = int(os.environ.get("SPARK_GRAFT_PAIR_GATE_BUDGET", "1500"))
 
-        def _probe_eff() -> float | None:
+        def _probe_host() -> dict | None:
             probe = os.path.join(REPO, "BENCH", "host_probe.py")
             if not os.path.exists(probe):
                 return None
@@ -405,32 +413,39 @@ def main_scaling() -> None:
                     [sys.executable, probe], capture_output=True, text=True,
                     timeout=180,
                 )
-                return json.loads(p.stdout.strip().splitlines()[-1])["compute_eff"]
+                return json.loads(p.stdout.strip().splitlines()[-1])
             except Exception:
                 return None  # a broken probe must never block sampling
 
-        def _wait_for_clean_window(k: int) -> None:
+        def _wait_for_clean_window(k: int) -> dict | None:
             if gate <= 0:
-                return
+                return None
             waited = 0.0
             while True:
-                eff = _probe_eff()
-                if eff is None or eff >= gate:
+                pr = _probe_host()
+                eff = pr and pr.get("compute_eff")
+                reff = pr and pr.get("rand_eff")
+                ok = eff is None or (
+                    eff >= gate and (rand_gate <= 0 or reff is None or reff >= rand_gate)
+                )
+                if ok:
                     print(
-                        f"[paired] pair {k}: probe {eff} — proceeding",
+                        f"[paired] pair {k}: probe {eff}/rand {reff} — proceeding",
                         file=sys.stderr,
                     )
-                    return
+                    return pr
                 if waited >= gate_budget:
                     print(
-                        f"[paired] pair {k}: probe {eff} < {gate} but wait "
-                        f"budget exhausted ({waited:.0f}s) — proceeding dirty",
+                        f"[paired] pair {k}: probe {eff}/rand {reff} below gate "
+                        f"({gate}/{rand_gate}) but wait budget exhausted "
+                        f"({waited:.0f}s) — proceeding dirty",
                         file=sys.stderr,
                     )
-                    return
+                    return pr
                 print(
-                    f"[paired] pair {k}: probe {eff} < {gate} — degraded "
-                    f"window, sleeping 120s ({waited:.0f}/{gate_budget}s)",
+                    f"[paired] pair {k}: probe {eff}/rand {reff} below gate "
+                    f"({gate}/{rand_gate}) — degraded window, sleeping 120s "
+                    f"({waited:.0f}/{gate_budget}s)",
                     file=sys.stderr,
                 )
                 time.sleep(120)
@@ -438,7 +453,7 @@ def main_scaling() -> None:
 
         pairs = []
         for k in range(n_pairs):
-            _wait_for_clean_window(k)
+            probe_rec = _wait_for_clean_window(k)
             r8 = _child(8, {"SPARK_GRAFT_SCALING_RUNS": "2"})
             r32 = _child(32, {"SPARK_GRAFT_SCALING_RUNS": "2"})
             e = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
@@ -449,7 +464,16 @@ def main_scaling() -> None:
             )
             c8, c32 = r8.get("control_tps"), r32.get("control_tps")
             ce = (c32 / (4 * c8)) if c8 and c32 else None
-            pairs.append({"r8": r8, "r32": r32, "eff": e, "best_eff": be, "ctl_eff": ce})
+            pairs.append(
+                {
+                    "r8": r8, "r32": r32, "eff": e, "best_eff": be, "ctl_eff": ce,
+                    "probe": probe_rec
+                    and {
+                        x: probe_rec.get(x)
+                        for x in ("compute_eff", "bandwidth_eff", "rand_eff")
+                    },
+                }
+            )
             print(f"[paired] pair {k}: eff={e:.3f} ctl={ce and round(ce,3)}", file=sys.stderr)
         med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
         results = {8: med["r8"], 32: med["r32"]}
@@ -458,6 +482,7 @@ def main_scaling() -> None:
             "pair_effs": [round(p["eff"], 3) for p in pairs],
             "pair_best_effs": [p["best_eff"] and round(p["best_eff"], 3) for p in pairs],
             "pair_ctl_effs": [p["ctl_eff"] and round(p["ctl_eff"], 3) for p in pairs],
+            "pair_probes": [p["probe"] for p in pairs],
         }
         best_eff_override = max(
             [p["best_eff"] for p in pairs if p["best_eff"] is not None] or [None],
