@@ -596,13 +596,37 @@ def _cosine_topk_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine_r"), "rank")
 
 
+# One schema, two execution paths (bench twins): the exact mapInPandas
+# interpreter vs the columnar VARIANT compile (draft4/columnar.py) that
+# validate_json_column_auto routes liftable schemas to. Same oracle.
+_EVENTS_PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 89}},
+}
+
+
 def _draft4_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-wise Draft-4 validation of the events `props` JSON column."""
+    """Row-wise Draft-4 validation of the events `props` JSON column —
+    the exact per-document interpreter path (dynamic/recursive schemas),
+    compiled once per worker, Arrow-batched (draft4/udf.py)."""
     from hjsonschema_spark.draft4.udf import validate_json_column
 
-    schema = {"type": "object"}
     ev = _t(spark, sf_dir, "events").select("event_id", "props")
-    out = validate_json_column(ev, "props", schema)
+    out = validate_json_column(ev, "props", _EVENTS_PROPS_SCHEMA)
+    return out.select("event_id", "_valid")
+
+
+def _draft4_validate_events_columnar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same validation auto-routed to the columnar compile: the schema
+    is in the liftable subset, so this is pure whole-stage codegen over
+    VARIANT — no Python worker, no Arrow transfer (tests pin both the
+    routing and UDF-path parity; bench shows the win at identical
+    semantics)."""
+    from hjsonschema_spark.draft4.columnar import validate_json_column_auto
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    out = validate_json_column_auto(ev, "props", _EVENTS_PROPS_SCHEMA)
     return out.select("event_id", "_valid")
 
 
@@ -1119,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": _topk_orders_per_customer,
         "revenue_per_nation": _revenue_per_nation,
         "draft4_validate_events_props": _draft4_validate_events_props,
+        "draft4_validate_events_columnar": _draft4_validate_events_columnar,
         # rows-only (hash-based / approximate — no exact SQL twin)
         "minhash_lsh_documents": _minhash_lsh_documents,
         "simhash_documents": _simhash_documents,
@@ -1859,10 +1884,24 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
-    sql["draft4_validate_events_props"] = (
-        "SELECT event_id, (json_valid(props) AND json_type(props) = 'OBJECT') AS _valid "
-        "FROM events"
-    )
+    # one verdict expression for both execution paths (UDF twin and
+    # columnar twin run the SAME schema: object root, required k,
+    # k integer in [0, 89]; JSON-null k is present for required but
+    # fails the integer type; 1.0/1e3-style numerics ARE integers)
+    sql["draft4_validate_events_props"] = """
+SELECT event_id,
+  CASE
+    WHEN props IS NULL THEN NULL
+    WHEN NOT json_valid(props) THEN FALSE
+    WHEN json_type(props) <> 'OBJECT' THEN FALSE
+    WHEN json_type(props, '$.k') IS NULL THEN FALSE
+    WHEN json_type(props, '$.k') NOT IN ('UBIGINT', 'BIGINT', 'INTEGER', 'DOUBLE') THEN FALSE
+    ELSE CAST(json_extract(props, '$.k') AS DOUBLE) % 1 = 0
+         AND CAST(json_extract(props, '$.k') AS DOUBLE) BETWEEN 0 AND 89
+  END AS _valid
+FROM events
+"""
+    sql["draft4_validate_events_columnar"] = sql["draft4_validate_events_props"]
     # the capped sample equals the full set when every check is under
     # the cap (see _suite_violations_capped_lineitem) — same oracle
     sql["suite_violations_capped_lineitem"] = sql["suite_violations_lineitem"]
