@@ -55,22 +55,44 @@ def _probe() -> dict:
         return {"error": str(e)[:200]}
 
 
+PAIR_SAMPLES = os.path.join(BENCH, "pair_samples.jsonl")
+
+
+def _qualifies(e, c) -> bool:
+    return e is not None and (
+        e >= 0.8 or (c is not None and c >= 0.85 and e / c >= 1.0)
+    )
+
+
 def _clean_pairs_so_far(since_ts: float) -> int:
-    """Count qualifying pairs appended to scaling_samples.jsonl since
-    the campaign started (raw >= 0.8, or ctl >= 0.85 with norm >= 1.0)."""
+    """Count qualifying pairs since the epoch (raw >= 0.8, or ctl >=
+    0.85 with norm >= 1.0). Primary source: pair_samples.jsonl (one
+    line per pair, written the moment the pair completes — survives a
+    killed invocation). Legacy source: scaling_samples.jsonl pair_effs
+    arrays, counted only BEFORE the first pair_samples timestamp so a
+    pair is never double-counted (every pair since the per-pair log
+    exists appears in both files)."""
     n = 0
+    first_pair_ts = float("inf")
+    try:
+        with open(PAIR_SAMPLES) as f:
+            for line in f:
+                s = json.loads(line)
+                first_pair_ts = min(first_pair_ts, s.get("ts", float("inf")))
+                if s.get("ts", 0) >= since_ts and _qualifies(s.get("eff"), s.get("ctl_eff")):
+                    n += 1
+    except FileNotFoundError:
+        pass
     try:
         with open(SAMPLES) as f:
             for line in f:
                 s = json.loads(line)
-                if s.get("ts", 0) < since_ts:
+                if not (since_ts <= s.get("ts", 0) < first_pair_ts):
                     continue
                 effs = s.get("pair_effs") or [s.get("efficiency")]
                 ctls = s.get("pair_ctl_effs") or [s.get("control_efficiency")]
                 for e, c in zip(effs, ctls):
-                    if e is None:
-                        continue
-                    if e >= 0.8 or (c is not None and c >= 0.85 and e / c >= 1.0):
+                    if _qualifies(e, c):
                         n += 1
     except FileNotFoundError:
         pass
@@ -79,12 +101,23 @@ def _clean_pairs_so_far(since_ts: float) -> int:
 
 def main() -> int:
     max_iters = 14
-    pairs = "2"
+    pairs = "1"
+    # rand_eff gate ON by default (0 disables): the random-gather probe
+    # is the only one that detects the host's memory-stall regime, in
+    # which engine pairs land 0.43-0.47 while the L2 compute probe and
+    # the streaming control both read clean (scaling_samples 08-19 and
+    # probes 08-19 22:29 / 23:53: rand_eff 0.655/0.636/0.414 with
+    # compute_eff 1.0+). Burning ~12 min on a pair in that regime is
+    # pure waste; 0.7 is modest enough that genuinely clean windows
+    # (rand_eff ~0.85+ when unloaded) pass immediately.
+    rand_gate = "0.7"
     argv = sys.argv[1:]
     if "--max-iters" in argv:
         max_iters = int(argv[argv.index("--max-iters") + 1])
     if "--pairs-per-iter" in argv:
         pairs = argv[argv.index("--pairs-per-iter") + 1]
+    if "--rand-gate" in argv:
+        rand_gate = argv[argv.index("--rand-gate") + 1]
     t_start = time.time()
     # --since TS: count qualifying pairs from an earlier epoch (e.g.
     # the round start) so a relaunched campaign does not forget pairs
@@ -92,7 +125,12 @@ def main() -> int:
     t_count = t_start
     if "--since" in argv:
         t_count = float(argv[argv.index("--since") + 1])
-    _log({"event": "campaign_start", "max_iters": max_iters, "pairs_per_iter": pairs})
+    _log(
+        {
+            "event": "campaign_start", "max_iters": max_iters,
+            "pairs_per_iter": pairs, "rand_gate": rand_gate,
+        }
+    )
     for i in range(max_iters):
         if os.path.exists(STOP):
             _log({"event": "stopped_by_file", "iter": i})
@@ -103,7 +141,13 @@ def main() -> int:
             break
         probe = _probe()
         _log({"event": "probe", "iter": i, **probe})
-        env = dict(os.environ, SPARK_GRAFT_SCALING_PAIRS=pairs)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SCALING_PAIRS=pairs,
+            SPARK_GRAFT_PAIR_GATE_RAND=os.environ.get(
+                "SPARK_GRAFT_PAIR_GATE_RAND", rand_gate
+            ),
+        )
         t0 = time.time()
         # Timeout headroom: pairs (~18 min each) + the per-pair
         # clean-window gate (<= 25 min wait each) can stack; a

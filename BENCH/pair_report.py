@@ -18,6 +18,7 @@ import sys
 import time
 
 SAMPLES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_samples.jsonl")
+PAIR_SAMPLES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pair_samples.jsonl")
 
 
 def _rank(xs: list[float]) -> list[float]:
@@ -44,10 +45,35 @@ def main() -> int:
     if "--since" in sys.argv:
         since = float(sys.argv[sys.argv.index("--since") + 1])
     rows = []
+    # primary: the per-pair log (one line per pair the moment it
+    # completes; survives killed invocations)
+    first_pair_ts = float("inf")
+    try:
+        with open(PAIR_SAMPLES) as f:
+            for line in f:
+                s = json.loads(line)
+                first_pair_ts = min(first_pair_ts, s.get("ts", float("inf")))
+                if s.get("ts", 0) < since:
+                    continue
+                p = s.get("probe")
+                rows.append(
+                    {
+                        "ts": s["ts"],
+                        "eff": s.get("eff"),
+                        "ctl": s.get("ctl_eff"),
+                        "compute": p and p.get("compute_eff"),
+                        "bw": p and p.get("bandwidth_eff"),
+                        "rand": p and p.get("rand_eff"),
+                    }
+                )
+    except FileNotFoundError:
+        pass
+    # legacy: pair arrays embedded in invocation-end samples, counted
+    # only before the per-pair log existed (no double counting)
     with open(SAMPLES) as f:
         for line in f:
             s = json.loads(line)
-            if s.get("ts", 0) < since or not s.get("paired"):
+            if s.get("ts", 0) < since or not s.get("paired") or s.get("ts", 0) >= first_pair_ts:
                 continue
             effs = s.get("pair_effs") or []
             ctls = s.get("pair_ctl_effs") or [None] * len(effs)
@@ -64,6 +90,7 @@ def main() -> int:
                         "rand": p and p.get("rand_eff"),
                     }
                 )
+    rows.sort(key=lambda r: r["ts"])
     print(f"{'when':16} {'eff':>6} {'ctl':>6} {'compute':>8} {'bw':>6} {'rand':>6}")
     for r in rows:
         when = time.strftime("%m-%d %H:%M", time.localtime(r["ts"]))

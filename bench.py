@@ -83,6 +83,9 @@ def _force_query(fn, spark, sf_dir) -> float:
 
 
 def _transcripts_path() -> str:
+    override = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_PATH")
+    if override:
+        return override
     return f"/tmp/spark_graft_bench_transcripts_{N_CONVS}"
 
 
@@ -97,6 +100,9 @@ def _ensure_transcripts(spark) -> str:
         gen = TranscriptGen(
             n_convs=N_CONVS, seed=42, n_partitions=N_PARTS,
             dup_rate=0.001, bad_role_rate=0.001, gap_rate=0.001, ts_regress_rate=0.001,
+            # pathological-skew knobs (--skew-demo): a few mega-convs
+            hot_convs=int(os.environ.get("SPARK_GRAFT_HOT_CONVS", "0")),
+            hot_len=int(os.environ.get("SPARK_GRAFT_HOT_LEN", "0")),
         )
         gen.df(spark).write.mode("overwrite").parquet(path)
     return path
@@ -178,9 +184,33 @@ def run_transcripts_job(spark, df=None) -> dict:
     return {"n_turns": n_turns, "wall_sec": wall, "turns_per_sec": n_turns / wall}
 
 
+def _host_probe() -> dict | None:
+    """One 30s host-health probe line (BENCH/host_probe.py), or None.
+    Embedded in every bench JSON so each BENCH_r*.json is
+    self-describing about host state: the round-3 driver bench printed
+    a 5.5s minhash that the probed-clean window showed was 2.4s, and
+    nothing in the artifact recorded the degradation."""
+    probe = os.path.join(REPO, "BENCH", "host_probe.py")
+    if not os.path.exists(probe):
+        return None
+    try:
+        p = subprocess.run(
+            [sys.executable, probe], capture_output=True, text=True, timeout=180,
+        )
+        rec = json.loads(p.stdout.strip().splitlines()[-1])
+        return {
+            x: rec.get(x)
+            for x in ("compute_eff", "bandwidth_eff", "rand_eff", "clean")
+        }
+    except Exception:
+        return None  # a broken probe must never block the bench
+
+
 def main_default() -> None:
     from hjsonschema_spark.session import get_spark
     import __spark_entry__ as entrymod
+
+    probe_start = _host_probe()
 
     # The transcripts throughput job runs FIRST, in its own subprocess,
     # BEFORE this process creates its SparkSession: (a) a JVM polluted
@@ -243,6 +273,11 @@ def main_default() -> None:
                 "cpus": CPUS,
                 "turns_per_sec": round(tj["turns_per_sec"], 1),
                 "bench_turns": tj["n_turns"],
+                # host state at bench start/end; rand_eff < ~0.7 marks
+                # the memory-stall regime in which window/sort-heavy
+                # queries inflate 2-3x (BENCH/BASELINE.md)
+                "probe": probe_start,
+                "probe_end": _host_probe(),
             }
         )
     )
@@ -283,14 +318,14 @@ def main_transcripts_only() -> None:
         "SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark_graft_eventlogs"
     )
     os.makedirs(elog_dir, exist_ok=True)
-    spark = get_spark(
-        app_name=f"bench-scaling-{CPUS}", cores=CPUS,
-        extra_conf={
-            "spark.cleaner.periodicGC.interval": "120s",
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": elog_dir,
-        },
-    )
+    extra = {
+        "spark.cleaner.periodicGC.interval": "120s",
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": elog_dir,
+    }
+    # --skew-demo passes per-child conf (e.g. AQE off) as a JSON dict
+    extra.update(json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}")))
+    spark = get_spark(app_name=f"bench-scaling-{CPUS}", cores=CPUS, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(_ensure_transcripts(spark)).persist()
     # two warm-ups: the first fills the cache, the second lets C2 JIT
@@ -318,6 +353,11 @@ def main_transcripts_only() -> None:
     runs = [run_transcripts_job(spark, df) for _ in range(n_runs)]
     out = min(runs, key=lambda r: r["wall_sec"])  # min-of-N
     out["cpus"] = CPUS
+    # app id ties this child to its event-log dir
+    # (eventlog_v2_<app_id> under SPARK_GRAFT_EVENTLOG_DIR), so every
+    # banked scaling pair is traceable to a per-stage decomposition
+    # via BENCH/analyze_eventlog.py.
+    out["app_id"] = spark.sparkContext.applicationId
     out["runs_sec"] = [round(r["wall_sec"], 2) for r in runs]
     out["median_tps"] = round(
         sorted(r["turns_per_sec"] for r in runs)[len(runs) // 2], 1
@@ -474,6 +514,24 @@ def main_scaling() -> None:
                     },
                 }
             )
+            # Persist each pair the moment it completes (the campaign
+            # killed mid-invocation used to lose every in-flight pair;
+            # BENCH/campaign.py counts qualifying pairs from this file).
+            pair_rec = {
+                "ts": time.time(),
+                "eff": round(e, 3),
+                "best_eff": be and round(be, 3),
+                "ctl_eff": ce and round(ce, 3),
+                "norm_eff": ce and round(e / ce, 3),
+                "probe": pairs[-1]["probe"],
+                "apps": [r8.get("app_id"), r32.get("app_id")],
+                "runs_sec_8": r8.get("runs_sec"),
+                "runs_sec_32": r32.get("runs_sec"),
+                "n_turns": r8.get("n_turns"),
+            }
+            os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+            with open(os.path.join(REPO, "BENCH", "pair_samples.jsonl"), "a") as f:
+                f.write(json.dumps(pair_rec) + "\n")
             print(f"[paired] pair {k}: eff={e:.3f} ctl={ce and round(ce,3)}", file=sys.stderr)
         med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
         results = {8: med["r8"], 32: med["r32"]}
@@ -771,6 +829,63 @@ def main_gen_only() -> None:
     spark.stop()
 
 
+def main_skew_demo() -> None:
+    """Pathological group-skew demonstration (north rule: skewed
+    conv_ids; SURVEY §4.2). Generates a transcripts table whose first
+    SPARK_GRAFT_HOT_CONVS conversations have SPARK_GRAFT_HOT_LEN turns
+    each (default: 2 convs x 1M turns — 10x the domain bound the
+    Bounds check allows — atop 400k Zipf-length convs), then runs the
+    full check-suite child at local[32] twice: engine defaults (AQE
+    coalesce + skew-join ON) and AQE OFF. Prints one JSON line with
+    both walls + app ids; per-stage straggler decomposition comes from
+    BENCH/analyze_eventlog.py on the recorded event logs.
+
+    What it demonstrates: the fused ordered pass uses ONLY streaming
+    window frames (compile.py run_ordered_fused), so a mega-group costs
+    linear task time in one reducer — a straggler, never a
+    whole-group buffer/OOM. Agg-shaped checks are AQE/salting-handled;
+    a hash(conv_id) window cannot be split without breaking order
+    semantics, so the engine's defense at 10^12-turn scale is the
+    domain bound on group size (Bounds: turn_idx <= 100k) plus
+    streaming frames making the worst group linear-cost."""
+    global N_CONVS
+    n_convs = os.environ.get("SPARK_GRAFT_SKEW_CONVS", "400000")
+    hot = {
+        "SPARK_GRAFT_HOT_CONVS": os.environ.get("SPARK_GRAFT_HOT_CONVS", "2"),
+        "SPARK_GRAFT_HOT_LEN": os.environ.get("SPARK_GRAFT_HOT_LEN", "1000000"),
+    }
+    path = f"/tmp/spark_graft_bench_skew_{n_convs}_{hot['SPARK_GRAFT_HOT_CONVS']}x{hot['SPARK_GRAFT_HOT_LEN']}"
+    base_env = dict(
+        os.environ, SPARK_GRAFT_BENCH_CONVS=n_convs,
+        SPARK_GRAFT_TRANSCRIPTS_PATH=path, **hot,
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--gen-only"],
+            env=base_env, check=True, timeout=3600,
+        )
+    results = {}
+    for label, conf in (
+        ("aqe_on", {}),
+        ("aqe_off", {"spark.sql.adaptive.enabled": "false"}),
+    ):
+        env = dict(
+            base_env, SPARK_GRAFT_CPUS="32", SPARK_GRAFT_SCALING_RUNS="2",
+            SPARK_GRAFT_EXTRA_CONF=json.dumps(conf),
+        )
+        cmd = [sys.executable, os.path.abspath(__file__), "--transcripts-only"]
+        r = _run_scaling_child(cmd, env, 32)
+        results[label] = {
+            "wall_sec": round(r["wall_sec"], 2),
+            "runs_sec": r.get("runs_sec"),
+            "turns_per_sec": round(r["turns_per_sec"], 1),
+            "app_id": r.get("app_id"),
+            "n_turns": r["n_turns"],
+        }
+        print(f"[skew-demo] {label}: {results[label]}", file=sys.stderr)
+    print(json.dumps({"skew_demo": results, "table": path, "probe": _host_probe()}))
+
+
 def main_transcripts_once() -> None:
     """Transcripts throughput in a fresh JVM (the main bench's
     subprocess child — see main_default for why it must be isolated).
@@ -807,5 +922,7 @@ if __name__ == "__main__":
         main_transcripts_once()
     elif "--gen-only" in sys.argv:
         main_gen_only()
+    elif "--skew-demo" in sys.argv:
+        main_skew_demo()
     else:
         main_default()
