@@ -55,6 +55,10 @@ def main() -> int:
                 first_pair_ts = min(first_pair_ts, s.get("ts", float("inf")))
                 if s.get("ts", 0) < since:
                     continue
+                # aborted pair ATTEMPTS (engine-gated pairing) are not
+                # pairs — no efficiency was measured
+                if s.get("aborted"):
+                    continue
                 p = s.get("probe")
                 rows.append(
                     {
