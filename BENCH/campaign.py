@@ -102,15 +102,14 @@ def _clean_pairs_so_far(since_ts: float) -> int:
 def main() -> int:
     max_iters = 14
     pairs = "1"
-    # rand_eff gate ON by default (0 disables): the random-gather probe
-    # is the only one that detects the host's memory-stall regime, in
-    # which engine pairs land 0.43-0.47 while the L2 compute probe and
-    # the streaming control both read clean (scaling_samples 08-19 and
-    # probes 08-19 22:29 / 23:53: rand_eff 0.655/0.636/0.414 with
-    # compute_eff 1.0+). Burning ~12 min on a pair in that regime is
-    # pure waste; 0.7 is modest enough that genuinely clean windows
-    # (rand_eff ~0.85+ when unloaded) pass immediately.
-    rand_gate = "0.7"
+    # rand_eff pre-gate OFF by default (round-5 probe-vs-regime study,
+    # PLANS.md: over all 10 probe-carrying attempts rand_eff is
+    # ANTI-correlated with the engine's actual regime — its two
+    # cleanest readings preceded stalls — and no probe beats the base
+    # rate at any non-degenerate threshold). Sleeping 120s on a
+    # non-signal is strictly worse than letting the engine gate abort
+    # a stalled attempt in ~7 min. Set a value to re-enable.
+    rand_gate = "0"
     argv = sys.argv[1:]
     if "--max-iters" in argv:
         max_iters = int(argv[argv.index("--max-iters") + 1])

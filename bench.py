@@ -86,7 +86,16 @@ def _transcripts_path() -> str:
     override = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_PATH")
     if override:
         return override
-    return f"/tmp/spark_graft_bench_transcripts_{N_CONVS}"
+    # the skew knobs change the generated DATA, so they must change the
+    # cache path too — otherwise setting them silently reuses a stale
+    # non-skewed table, or poisons the shared path for later plain runs
+    # (round-4 ADVICE, bench.py:90)
+    hot = (
+        os.environ.get("SPARK_GRAFT_HOT_CONVS", "0"),
+        os.environ.get("SPARK_GRAFT_HOT_LEN", "0"),
+    )
+    suffix = "" if hot == ("0", "0") else f"_hot{hot[0]}x{hot[1]}"
+    return f"/tmp/spark_graft_bench_transcripts_{N_CONVS}{suffix}"
 
 
 def _ensure_transcripts(spark) -> str:
@@ -220,11 +229,60 @@ def main_default() -> None:
     # the query loop doesn't help because SparkSession.stop() does NOT
     # exit the parent's py4j JVM — its 64g heap would starve the child
     # (same trap as --gen-only, see main_scaling).
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--transcripts-once"],
-        capture_output=True, text=True, timeout=1200, env=dict(os.environ),
+    # Headline gate (round-4 VERDICT item 3): BENCH_r04 was self-flagged
+    # dirty (probe clean:false, every query 2-10x its clean wall), making
+    # round-over-round comparison meaningless without a judge re-measure.
+    # Reuse the engine's own absolute throughput as the regime signal
+    # (same philosophy as the scaling pair gate — host probes are
+    # non-signals, PLANS.md round-5 study): the transcripts child
+    # self-aborts after its JIT-steady warm-up 2 when below the floor;
+    # retry within a bounded budget, then proceed anyway (the driver
+    # must never hang) — the output's "gate" block says whether the
+    # query loop ran in a clean window.
+    floor = float(
+        os.environ.get(
+            "SPARK_GRAFT_HEADLINE_GATE_TPS",
+            {"32": "2400000", "8": "850000"}.get(str(CPUS), "0"),
+        )
     )
-    tj = json.loads(proc.stdout.strip().splitlines()[-1])
+    budget = float(os.environ.get("SPARK_GRAFT_HEADLINE_GATE_BUDGET", "900"))
+    gate: dict = {"floor_tps": floor, "attempts": 0, "passed": None}
+    t_gate = time.time()
+    while True:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--transcripts-once"],
+            capture_output=True, text=True, timeout=1200,
+            env=dict(os.environ, SPARK_GRAFT_CHILD_MIN_TPS=str(floor)),
+        )
+        tj = json.loads(proc.stdout.strip().splitlines()[-1])
+        gate["attempts"] += 1
+        if floor <= 0:
+            break
+        if not tj.get("aborted") and tj["turns_per_sec"] >= floor:
+            gate["passed"] = True
+            break
+        if time.time() - t_gate + 120 > budget:
+            gate["passed"] = False
+            print(
+                f"[bench] headline gate: budget exhausted at "
+                f"{tj.get('turns_per_sec')} tps < {floor:.0f} — proceeding dirty",
+                file=sys.stderr,
+            )
+            break
+        print(
+            f"[bench] headline gate: {tj.get('turns_per_sec')} tps < "
+            f"{floor:.0f} floor — sleeping 120s", file=sys.stderr,
+        )
+        time.sleep(120)
+    gate["waited_sec"] = round(time.time() - t_gate, 1)
+    if tj.get("aborted"):
+        # budget ran out on an aborted (timing-less) child: one ungated
+        # rerun so the headline still reports real transcript numbers
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--transcripts-once"],
+            capture_output=True, text=True, timeout=1200, env=dict(os.environ),
+        )
+        tj = json.loads(proc.stdout.strip().splitlines()[-1])
 
     spark = get_spark(app_name="bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -278,6 +336,7 @@ def main_default() -> None:
                 # queries inflate 2-3x (BENCH/BASELINE.md)
                 "probe": probe_start,
                 "probe_end": _host_probe(),
+                "gate": gate,
             }
         )
     )
@@ -637,6 +696,15 @@ def main_scaling() -> None:
                 "gated": gated,
                 "attempts": attempts_used,
                 "floors": {"tps8": min8, "tps32": min32},
+                # raw eff re-based on the CLEAN local[8] anchor: a
+                # stalled r8 child deflates tps8 and so INFLATES eff;
+                # this is the efficiency the pair defends even if r8
+                # ran degraded (round-4 VERDICT item 2)
+                "eff_at_clean_tps8": round(
+                    r32["turns_per_sec"]
+                    / (4 * float(os.environ.get("SPARK_GRAFT_CLEAN_TPS8", "1150000"))),
+                    3,
+                ),
             }
             os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
             with open(os.path.join(REPO, "BENCH", "pair_samples.jsonl"), "a") as f:
@@ -744,6 +812,35 @@ def _write_scaling_md() -> None:
             f"| {ctl if ctl is not None else '—'} "
             f"| {norm if norm is not None else '—'} |"
         )
+    # North-rule evidence: qualifying pairs from the per-pair log
+    # (BENCH/campaign.py _qualifies — raw >= 0.8, or ctl >= 0.85 with
+    # normalized >= 1.0), counted since the round-3 epoch.
+    epoch = 1787108000.0
+    clean8 = float(os.environ.get("SPARK_GRAFT_CLEAN_TPS8", "1150000"))
+    ppath = os.path.join(REPO, "BENCH", "pair_samples.jsonl")
+    prows: list = []
+    qual_ec8: list = []
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            for line in f:
+                s = json.loads(line)
+                if s.get("aborted") or "eff" not in s:
+                    continue
+                e, c, nrm = s["eff"], s.get("ctl_eff"), s.get("norm_eff")
+                q = e >= 0.8 or (c is not None and c >= 0.85 and (nrm or 0) >= 1.0)
+                ec8 = s.get("eff_at_clean_tps8")
+                if ec8 is None and s.get("runs_sec_32") and s.get("n_turns"):
+                    ec8 = round(s["n_turns"] / min(s["runs_sec_32"]) / (4 * clean8), 3)
+                when = time.strftime("%m-%d %H:%M", time.localtime(s["ts"]))
+                is_q = q and s["ts"] >= epoch
+                prows.append(
+                    f"| {when}{' **q**' if is_q else ''} | {e:.3f} "
+                    f"| {c if c is not None else '—'} | {nrm if nrm is not None else '—'} "
+                    f"| {ec8 if ec8 is not None else '—'} "
+                    f"| {'yes' if s.get('gated') else 'no'} | {s.get('attempts', '—')} |"
+                )
+                if is_q and ec8 is not None:
+                    qual_ec8.append(ec8)
     best_raw = max(s["efficiency"] for s in samples) if samples else 0
     # report the normalized figure of the best RAW sample (a normalized
     # value is only meaningful when its control ran cache-resident;
@@ -830,6 +927,28 @@ as evidence) and re-gates, up to `SPARK_GRAFT_PAIR_ATTEMPTS`
 also blocks the false qualifier where a stalled N child under a
 clean 4N child inflates raw efficiency: a banked `gated: true` pair
 certifies both children ran at near-clean absolute throughput.
+
+## North-rule evidence: qualifying N->4N pairs
+
+The scaling criterion's evidence unit is the PAIR (per-pair log
+`BENCH/pair_samples.jsonl`; **q** = qualifying since the round-3
+epoch: raw eff >= 0.8, or control >= 0.85 with normalized >= 1.0).
+`eff@clean-r8` re-bases the pair's raw efficiency on the clean
+local[8] anchor (~1.15M turns/s, env `SPARK_GRAFT_CLEAN_TPS8`): a
+stalled r8 child deflates tps@N and so INFLATES raw eff, so this
+column is the efficiency the pair defends even under that suspicion.
+`gated` pairs additionally certify both children cleared their
+absolute engine-throughput floors (2.4M / 0.85M turns/s) at their
+JIT-steady second warm-up.
+
+| when | raw eff | ctl eff | normalized | eff@clean-r8 | gated | attempts |
+|---|---|---|---|---|---|---|
+{chr(10).join(prows) if prows else '| (no pairs recorded) | | | | | | |'}
+
+**Qualifying pairs since the round-3 epoch: {len(qual_ec8)} (criterion:
+>= 3); minimum eff@clean-r8 among them: {min(qual_ec8) if qual_ec8 else '—'}
+— the >= 0.8 scaling claim survives the r8-floor normalization when
+this is >= 0.8.**
 
 ## Measured samples (full history, newest last)
 
@@ -975,7 +1094,6 @@ def main_skew_demo() -> None:
     semantics, so the engine's defense at 10^12-turn scale is the
     domain bound on group size (Bounds: turn_idx <= 100k) plus
     streaming frames making the worst group linear-cost."""
-    global N_CONVS
     n_convs = os.environ.get("SPARK_GRAFT_SKEW_CONVS", "400000")
     hot = {
         "SPARK_GRAFT_HOT_CONVS": os.environ.get("SPARK_GRAFT_HOT_CONVS", "2"),
@@ -1031,7 +1149,19 @@ def main_transcripts_once() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(_ensure_transcripts(spark)).persist()
     run_transcripts_job(spark, df)  # warm-up 1: cache fill
-    run_transcripts_job(spark, df)  # warm-up 2: C2 JIT steady state
+    w2 = run_transcripts_job(spark, df)  # warm-up 2: C2 JIT steady state
+    # self-abort below the regime floor, mirroring the scaling child
+    # (main_transcripts_only): lets main_default's headline gate retry
+    # after ~2 runs instead of paying the full min-of-5 in a stall
+    min_tps = float(os.environ.get("SPARK_GRAFT_CHILD_MIN_TPS", "0") or 0)
+    if min_tps > 0 and w2["turns_per_sec"] < min_tps:
+        print(
+            json.dumps(
+                {"aborted": True, "turns_per_sec": round(w2["turns_per_sec"], 1)}
+            )
+        )
+        spark.stop()
+        return
     runs = [run_transcripts_job(spark, df) for _ in range(5)]
     out = min(runs, key=lambda r: r["wall_sec"])
     out["runs_sec"] = [round(r["wall_sec"], 2) for r in runs]

@@ -17,6 +17,14 @@ schema changes), and process only the remainder.
 Storage is Iceberg when the runtime has it, Parquet-append otherwise
 (detected via session.iceberg_available) — the layout and semantics are
 identical.
+
+Ledger reads tolerate truncated/corrupt part files (ignoreCorruptFiles —
+what a dying writer or disk leaves behind): an unreadable 'done' row
+merely RE-validates its batch on resume and orphans that batch's old
+violation rows (excluded by ``violations()``'s committed-batch
+semi-join) — never a skip, never a double-count
+(tests/test_checkpoint_chaos.py). Violation-data reads stay strict:
+data loss there should be loud, not papered over.
 """
 
 from __future__ import annotations
@@ -67,7 +75,14 @@ class CheckpointedRun:
 
     def completed_files(self, spark: SparkSession, version: str) -> set[str]:
         try:
-            ck = spark.read.parquet(self._ckpt_path)
+            # schema pinned: footer-based inference reads EVERY part
+            # footer through a path that does not honor
+            # ignoreCorruptFiles (a truncated part fails the whole
+            # read with ChecksumException) — and a static schema also
+            # avoids a footer-listing storm on a large ledger
+            ck = spark.read.schema(_CKPT_SCHEMA).option(
+                "ignoreCorruptFiles", "true"
+            ).parquet(self._ckpt_path)
         except Exception:
             return set()
         rows = (
@@ -176,7 +191,9 @@ class CheckpointedRun:
         and the 'done' row are excluded, so a resumed run's union equals
         a single-shot run even across crashes."""
         committed = (
-            spark.read.parquet(self._ckpt_path)
+            spark.read.schema(_CKPT_SCHEMA)
+            .option("ignoreCorruptFiles", "true")
+            .parquet(self._ckpt_path)
             .filter(F.col("status") == "done")
             .select("batch_id")
             .distinct()
@@ -184,7 +201,9 @@ class CheckpointedRun:
         return spark.read.parquet(self._viol_path).join(committed, "batch_id", "left_semi")
 
     def checkpoints(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._ckpt_path)
+        return spark.read.schema(_CKPT_SCHEMA).option(
+            "ignoreCorruptFiles", "true"
+        ).parquet(self._ckpt_path)
 
 
 def _snapshot_id(files: list[str]) -> str:

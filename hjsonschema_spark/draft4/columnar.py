@@ -2,10 +2,12 @@
 
 The mapInPandas path (draft4/udf.py) is exact for every schema but
 loops per document inside each Arrow batch — the slowest operator per
-byte in the engine. For the common telemetry shape — a flat object
-with scalar-typed properties — the same Draft-4 semantics compile to
-pure Catalyst expressions over Spark's VARIANT type, which preserves
-exact JSON semantics the way ``from_json`` cannot:
+byte in the engine. For the common telemetry shapes — a flat object
+with scalar-typed properties, a flat array of scalars, and one-level
+nesting (array-of-scalar properties, required-only object properties)
+— the same Draft-4 semantics compile to pure Catalyst expressions over
+Spark's VARIANT type, which preserves exact JSON semantics the way
+``from_json`` cannot:
 
 - missing key vs JSON ``null``: ``try_variant_get`` returns SQL NULL
   only when the key is absent; a JSON null is a variant-null value
@@ -31,6 +33,29 @@ decimal(38,18) range (|x| >= 1e20 or >18 fractional digits) fall back
 to double comparisons, so integer/bounds checks on such magnitudes are
 approximate where the UDF path's Fraction math is exact. Telemetry
 payloads with >=1e20 numerics should use the UDF path explicitly.
+(Corollary for oracle authors: a DuckDB twin of the UDF path is
+double-approximate on such numerics too — DuckDB reads JSON numbers as
+double — so exactness-sensitive comparisons belong in pytest KATs, not
+SQL twins.)
+
+Regex dialect: the columnar path executes ``pattern`` with Java regex
+(rlike) while the UDF path uses Python ``re``. ``liftable`` therefore
+admits only a conservative syntax subset that compiles AND behaves
+identically in both dialects: literal characters, character classes
+spelled out (``[a-z0-9_]``), ``.``, anchors, ``|``, quantifiers
+(greedy and lazy), ``(?:...)`` groups, and escapes of regex
+metacharacters / ``\\t \\n \\r``. Anything else — ``\\d \\w \\s \\b``
+(Unicode in Python, ASCII in Java), named groups ``(?P<..>``
+(Python-only syntax), inline flags, lookaround, backrefs, ``\\uXXXX``
+— routes to the exact UDF path (round-4 ADVICE, columnar.py:106).
+
+Array sizes/elements are read by casting the variant to
+``array<variant>`` and using size/transform; per-element checks run in
+one ``transform`` lambda per row (JVM-interpreted, not codegen — still
+orders of magnitude cheaper than the per-document Python interpreter,
+and arrays here are per-row payload fields, not the engine's many-row
+x many-iteration hot path that CLAUDE.md's higher-order-function rule
+targets).
 
 Scale: the columnar plan is one projection inside whole-stage codegen
 — no Python worker, no Arrow transfer, no per-document interpreter —
@@ -53,7 +78,43 @@ _PROP_KEYWORDS = {
     "type", "enum", "minimum", "maximum", "exclusiveMinimum",
     "exclusiveMaximum", "minLength", "maxLength", "pattern",
 }
-_ROOT_KEYWORDS = {"type", "properties", "required", "additionalProperties"}
+_ARRAY_KEYWORDS = {"type", "items", "minItems", "maxItems"}
+_ROOT_KEYWORDS = (
+    {"properties", "required", "additionalProperties"} | _ARRAY_KEYWORDS
+)
+
+_FAIL_DDL = (
+    "array<struct<keyword:string,instance_path:string,"
+    "schema_path:string,message:string,value:string>>"
+)
+
+# Escapes whose syntax AND semantics are identical in Python re and
+# Java regex: metacharacter literals plus \t \n \r. Shorthand classes
+# (\d \w \s and friends) are Unicode-aware in Python but ASCII in Java
+# — excluded; write [0-9] / [a-zA-Z0-9_] / [ \t\n] instead.
+_ESC_OK = set("\\.*+?()[]{}|^$-/tnr")
+
+
+def _pattern_liftable(p: str) -> bool:
+    """True when ``p`` is in the conservative dual-dialect regex subset
+    (see module docstring): compiles under Python ``re`` and uses only
+    constructs with identical semantics under Java ``rlike``."""
+    try:
+        re.compile(p)
+    except re.error:
+        return False
+    i, n = 0, len(p)
+    while i < n:
+        c = p[i]
+        if c == "\\":
+            if i + 1 >= n or p[i + 1] not in _ESC_OK:
+                return False
+            i += 2
+            continue
+        if c == "(" and p[i : i + 2] == "(?" and p[i : i + 3] != "(?:":
+            return False  # named groups / flags / lookaround: dialect-specific
+        i += 1
+    return True
 
 
 def _decimal_ok(v: Any) -> bool:
@@ -65,7 +126,8 @@ def _decimal_ok(v: Any) -> bool:
         return False
 
 
-def _prop_liftable(sub: Any) -> bool:
+def _scalar_liftable(sub: Any) -> bool:
+    """Scalar-keyword subschema (the original columnar property set)."""
     if not isinstance(sub, dict) or not set(sub) <= _PROP_KEYWORDS:
         return False
     t = sub.get("type")
@@ -100,25 +162,61 @@ def _prop_liftable(sub: Any) -> bool:
             return False
     if "pattern" in sub:
         p = sub["pattern"]
-        if not isinstance(p, str):
-            return False
-        try:  # must be valid in BOTH dialects (rlike is Java regex)
-            re.compile(p)
-        except re.error:
+        if not isinstance(p, str) or not _pattern_liftable(p):
             return False
     return True
 
 
+def _array_liftable(sub: Any) -> bool:
+    """Flat array of scalars: type=array (or inferred by keywords),
+    items object-form with a scalar-liftable subschema, integer
+    minItems/maxItems. uniqueItems / tuple-form items route exact."""
+    if not isinstance(sub, dict) or not set(sub) <= _ARRAY_KEYWORDS:
+        return False
+    t = sub.get("type")
+    if t is not None and t != "array":
+        return False
+    it = sub.get("items")
+    if it is not None and not _scalar_liftable(it):
+        return False
+    for kw in ("minItems", "maxItems"):
+        if kw in sub and (isinstance(sub[kw], bool) or not isinstance(sub[kw], int)):
+            return False
+    return True
+
+
+def _nested_obj_liftable(sub: Any) -> bool:
+    """Required-only one-level nested object property."""
+    if not isinstance(sub, dict) or not set(sub) <= {"type", "required"}:
+        return False
+    if sub.get("type") != "object":
+        return False
+    req = sub.get("required", [])
+    return isinstance(req, list) and all(
+        isinstance(k, str) and _SAFE_KEY.match(k) for k in req
+    )
+
+
+def _prop_liftable(sub: Any) -> bool:
+    return (
+        _scalar_liftable(sub) or _array_liftable(sub) or _nested_obj_liftable(sub)
+    )
+
+
 def liftable(schema: Any) -> bool:
-    """True when ``schema`` is in the columnar subset: an object-rooted
-    schema whose keywords are properties / required /
-    additionalProperties(true) / type("object"), with every property
-    subschema scalar-typed and limited to type / enum / bounds /
-    length / pattern. Everything else ($ref, combinators, nesting,
-    patternProperties, non-identifier keys, ...) routes to the UDF."""
+    """True when ``schema`` is in the columnar subset: an object- or
+    array-rooted schema whose keywords are properties / required /
+    additionalProperties(true) / items / minItems / maxItems /
+    type("object"|"array"), with every property subschema either
+    scalar-typed (type / enum / bounds / length / dual-dialect
+    pattern), a flat array of such scalars, or a required-only nested
+    object. Everything else ($ref, combinators, deeper nesting,
+    patternProperties, uniqueItems, tuple-form items, non-identifier
+    keys, dialect-specific regex, ...) routes to the exact UDF."""
     if not isinstance(schema, dict) or not set(schema) <= _ROOT_KEYWORDS:
         return False
-    if "type" in schema and schema["type"] != "object":
+    t = schema.get("type")
+    if t is not None and t not in ("object", "array"):
         return False
     if schema.get("additionalProperties") not in (None, True):
         return False
@@ -130,22 +228,34 @@ def liftable(schema: Any) -> bool:
     props = schema.get("properties", {})
     if not isinstance(props, dict):
         return False
-    return all(
-        _SAFE_KEY.match(k) and _prop_liftable(s) for k, s in props.items()
-    )
+    if not all(_SAFE_KEY.match(k) and _prop_liftable(s) for k, s in props.items()):
+        return False
+    it = schema.get("items")
+    if it is not None and not _scalar_liftable(it):
+        return False
+    for kw in ("minItems", "maxItems"):
+        if kw in schema and (
+            isinstance(schema[kw], bool) or not isinstance(schema[kw], int)
+        ):
+            return False
+    return True
 
 
 def _num_lit(v: Any) -> Column:
     return F.lit(Decimal(repr(float(v))) if isinstance(v, float) else Decimal(v))
 
 
-def _fail(cond: Column, keyword: str, ipath: str, spath: str, value: Column) -> Column:
-    """A failure struct when ``cond`` (guarded: never NULL) holds."""
+def _fail(
+    cond: Column, keyword: str, ipath: Column | str, spath: str, value: Column
+) -> Column:
+    """A failure struct when ``cond`` (guarded: never NULL) holds.
+    ``ipath`` may be a Column for per-element (indexed) paths."""
+    ip = F.lit(ipath) if isinstance(ipath, str) else ipath
     return F.when(
         cond,
         F.struct(
             F.lit(keyword).alias("keyword"),
-            F.lit(ipath).alias("instance_path"),
+            ip.alias("instance_path"),
             F.lit(spath).alias("schema_path"),
             F.lit(f"{keyword} failed (columnar)").alias("message"),
             value.cast("string").alias("value"),
@@ -153,10 +263,11 @@ def _fail(cond: Column, keyword: str, ipath: str, spath: str, value: Column) -> 
     )
 
 
-def _prop_failures(vk: Column, key: str, sub: dict) -> list[Column]:
-    """Failure structs for one property; every condition is vacuously
-    false when the property is absent or the type class doesn't match
-    the keyword (reference type-mismatch ⇒ pass)."""
+def _scalar_failures(vk: Column, sub: dict, ip: Column | str, sp: str) -> list[Column]:
+    """Failure structs for one scalar-subschema instance (a property
+    value or an array element); every condition is vacuously false
+    when the instance is absent or the type class doesn't match the
+    keyword (reference type-mismatch ⇒ pass)."""
     present = vk.isNotNull()
     sch = F.schema_of_variant(vk)
     is_str = sch == "STRING"
@@ -178,7 +289,6 @@ def _prop_failures(vk: Column, key: str, sub: dict) -> list[Column]:
         F.lit(False),
     )
     as_bool = F.try_variant_get(vk, "$", "boolean")
-    ip, sp = f"/{key}", f"/properties/{key}"
     out: list[Column] = []
 
     def num_cmp(op) -> Column:
@@ -241,9 +351,9 @@ def _prop_failures(vk: Column, key: str, sub: dict) -> list[Column]:
             )
         )
     if "pattern" in sub:
-        # unanchored search in both paths (rlike / re.search); dialect
-        # is Java here vs Python in the UDF — same dual-mode contract
-        # as the engine's Pattern check (checks/compile.py)
+        # unanchored search in both paths (rlike / re.search); the
+        # liftable gate restricts syntax to the dual-dialect subset so
+        # Java-vs-Python semantics cannot diverge here
         out.append(
             _fail(
                 present & is_str & ~F.coalesce(as_str.rlike(sub["pattern"]), F.lit(False)),
@@ -251,6 +361,83 @@ def _prop_failures(vk: Column, key: str, sub: dict) -> list[Column]:
             )
         )
     return out
+
+
+def _empty_fails() -> Column:
+    return F.array().cast(_FAIL_DDL)
+
+
+def _array_failures(vk: Column, sub: dict, ip: str, sp: str) -> Column:
+    """Array-of-scalars checks on one variant instance: returns an
+    ARRAY of failure structs (empty when the instance is not an array
+    — type-mismatch ⇒ vacuous, matching validator._array which only
+    runs on list instances). The ``type`` keyword itself is handled by
+    the caller so its failure joins the scalar struct stream."""
+    arr = F.try_variant_get(vk, "$", "array<variant>")
+    is_arr = arr.isNotNull()
+    singles: list[Column] = []
+    if "maxItems" in sub:
+        singles.append(
+            _fail(
+                F.size(arr) > F.lit(sub["maxItems"]),
+                "maxItems", ip, f"{sp}/maxItems",
+                F.try_variant_get(vk, "$", "string"),
+            )
+        )
+    if "minItems" in sub:
+        singles.append(
+            _fail(
+                F.size(arr) < F.lit(sub["minItems"]),
+                "minItems", ip, f"{sp}/minItems",
+                F.try_variant_get(vk, "$", "string"),
+            )
+        )
+    parts: list[Column] = []
+    if singles:
+        parts.append(F.array_compact(F.array(*singles)))
+    it = sub.get("items")
+    if isinstance(it, dict) and it:
+        # per-element scalar checks in one transform pass; instance
+        # paths are computed per index (validator._array: ipath/i)
+        parts.append(
+            F.flatten(
+                F.transform(
+                    arr,
+                    lambda x, i: F.array_compact(
+                        F.array(
+                            *_scalar_failures(
+                                x, it,
+                                F.concat(F.lit(f"{ip}/"), i.cast("string")),
+                                f"{sp}/items",
+                            )
+                        )
+                    ),
+                )
+            )
+        )
+    if not parts:
+        return F.when(is_arr, _empty_fails()).otherwise(_empty_fails())
+    total = parts[0]
+    for p in parts[1:]:
+        total = F.concat(total, p)
+    return F.when(is_arr, total).otherwise(_empty_fails())
+
+
+def _nested_required_failure(vk: Column, sub: dict, ip: str, sp: str) -> Column | None:
+    """required inside a one-level nested object property: ONE failure
+    listing applies only when the nested instance IS an object
+    (validator._object runs only on dict instances)."""
+    req = sub.get("required") or []
+    if not req:
+        return None
+    is_obj = F.coalesce(F.schema_of_variant(vk).startswith("OBJECT"), F.lit(False))
+    any_missing = reduce_or(
+        [F.try_variant_get(vk, f"$.{k}", "variant").isNull() for k in req]
+    )
+    return _fail(
+        is_obj & any_missing, "required", ip, f"{sp}/required",
+        F.try_variant_get(vk, "$", "string"),
+    )
 
 
 def reduce_or(cols: list[Column]) -> Column:
@@ -274,12 +461,19 @@ def validate_json_column_columnar(
         raise ValueError("schema outside the columnar subset; use the UDF path")
     j = F.col(json_col)
     var = F.try_parse_json(j)
-    root_is_obj = F.coalesce(F.schema_of_variant(var).startswith("OBJECT"), F.lit(False))
+    root_sch = F.schema_of_variant(var)
+    root_is_obj = F.coalesce(root_sch.startswith("OBJECT"), F.lit(False))
+    root_is_arr = F.coalesce(root_sch.startswith("ARRAY"), F.lit(False))
 
     fails: list[Column] = []
+    fail_arrays: list[Column] = []
     if schema.get("type") == "object":
         fails.append(
             _fail(~root_is_obj, "type", "", "/type", F.try_variant_get(var, "$", "string"))
+        )
+    elif schema.get("type") == "array":
+        fails.append(
+            _fail(~root_is_arr, "type", "", "/type", F.try_variant_get(var, "$", "string"))
         )
     if schema.get("required"):
         # ONE failure regardless of how many keys are missing (the
@@ -294,9 +488,49 @@ def validate_json_column_columnar(
         fails.append(_fail(root_is_obj & any_missing, "required", "", "/required", j))
     for k, sub in schema.get("properties", {}).items():
         vk = F.try_variant_get(var, f"$.{k}", "variant")
-        fails.extend(
-            F.when(root_is_obj, f) for f in _prop_failures(vk, k, sub)
-        )
+        ip, sp = f"/{k}", f"/properties/{k}"
+        if _scalar_liftable(sub):
+            fails.extend(
+                F.when(root_is_obj, f) for f in _scalar_failures(vk, sub, ip, sp)
+            )
+        elif _array_liftable(sub):
+            if sub.get("type") == "array":
+                is_arr_k = F.coalesce(
+                    F.schema_of_variant(vk).startswith("ARRAY"), F.lit(False)
+                )
+                fails.append(
+                    F.when(
+                        root_is_obj,
+                        _fail(
+                            vk.isNotNull() & ~is_arr_k, "type", ip, f"{sp}/type",
+                            F.try_variant_get(vk, "$", "string"),
+                        ),
+                    )
+                )
+            fail_arrays.append(
+                F.when(root_is_obj, _array_failures(vk, sub, ip, sp)).otherwise(
+                    _empty_fails()
+                )
+            )
+        else:  # nested required-only object
+            if sub.get("type") == "object":
+                is_obj_k = F.coalesce(
+                    F.schema_of_variant(vk).startswith("OBJECT"), F.lit(False)
+                )
+                fails.append(
+                    F.when(
+                        root_is_obj,
+                        _fail(
+                            vk.isNotNull() & ~is_obj_k, "type", ip, f"{sp}/type",
+                            F.try_variant_get(vk, "$", "string"),
+                        ),
+                    )
+                )
+            nf = _nested_required_failure(vk, sub, ip, sp)
+            if nf is not None:
+                fails.append(F.when(root_is_obj, nf))
+    if any(kw in schema for kw in ("items", "minItems", "maxItems")):
+        fail_arrays.append(_array_failures(var, schema, "", ""))
 
     parse_fail = F.struct(
         F.lit("parse").alias("keyword"),
@@ -305,9 +539,9 @@ def validate_json_column_columnar(
         F.lit("invalid JSON").alias("message"),
         F.substring(j, 1, 256).alias("value"),
     )
-    fail_arr = F.array_compact(F.array(*fails)) if fails else F.array().cast(
-        "array<struct<keyword:string,instance_path:string,schema_path:string,message:string,value:string>>"
-    )
+    fail_arr = F.array_compact(F.array(*fails)) if fails else _empty_fails()
+    for fa in fail_arrays:
+        fail_arr = F.concat(fail_arr, fa)
     failures = (
         F.when(j.isNull(), F.lit(None))
         .when(var.isNull(), F.array(parse_fail))

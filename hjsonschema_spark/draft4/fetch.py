@@ -157,9 +157,22 @@ def fetch_refs(
 def http_fetcher(timeout: float = 10.0) -> Fetcher:
     """Live-URI transport (reference referencesViaHTTP' —
     Fetch.hs:58-76). Returns raw bytes; HTTP errors raise and surface
-    as FetchFailure."""
+    as FetchFailure. Rejects non-http(s) URIs with FetchFailure — an
+    untrusted schema's ``"$ref": "file:///etc/passwd"`` must never
+    read the local filesystem through the HTTP transport (round-4
+    ADVICE; the reference's transport speaks only HTTP by
+    construction). Other transports are injected explicitly
+    (filesystem_fetcher, or a custom Fetcher)."""
 
     def fetch(uri: str) -> bytes:
+        scheme = urlsplit(uri).scheme.lower()
+        if scheme not in ("http", "https"):
+            raise FetchFailure(
+                uri,
+                f"scheme {scheme!r} is not fetchable over the HTTP "
+                "transport; inject filesystem_fetcher or a custom "
+                "Fetcher for non-http(s) references",
+            )
         with urllib.request.urlopen(uri, timeout=timeout) as resp:  # noqa: S310
             return resp.read()
 

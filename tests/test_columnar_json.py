@@ -159,7 +159,7 @@ def test_auto_routes_columnar_no_python_worker(spark):
 
 def test_auto_falls_back_for_unliftable(spark):
     df = spark.createDataFrame([(1, "[1]")], "i int, j string")
-    schema = {"items": {"type": "integer"}}  # array root: not liftable
+    schema = {"items": [{"type": "integer"}]}  # tuple form: not liftable
     assert not liftable(schema)
     out = validate_json_column_auto(df, "j", schema)
     plan = out._jdf.queryExecution().executedPlan().toString()
@@ -183,8 +183,21 @@ def test_auto_falls_back_when_registry_present(spark):
         {"allOf": [{"type": "object"}]},
         {"type": "object", "patternProperties": {"^x": {}}},
         {"type": "object", "additionalProperties": False},
-        {"type": "object", "properties": {"a": {"type": "array"}}},
         {"type": "object", "properties": {"a": {"multipleOf": 2}}},
+        # array shapes OUTSIDE the lifted subset
+        {"items": [{"type": "integer"}]},              # tuple form
+        {"type": "array", "uniqueItems": True},
+        {"items": {"items": {"type": "integer"}}},     # nested arrays
+        {"type": "object", "properties": {"a": {"type": "array", "uniqueItems": True}}},
+        {"type": "object", "properties": {"a": {"items": {"multipleOf": 2}}}},
+        # nested object beyond required-only
+        {"type": "object", "properties": {"a": {"type": "object", "required": ["b"], "properties": {"b": {}}}}},
+        {"type": "object", "properties": {"a": {"type": "object", "required": ["bad key"]}}},
+        # dialect-specific regex syntax routes exact (round-4 ADVICE)
+        {"type": "object", "properties": {"a": {"pattern": "\\d+"}}},
+        {"type": "object", "properties": {"a": {"pattern": "(?P<n>x)"}}},
+        {"type": "object", "properties": {"a": {"pattern": "a\\Z"}}},
+        {"items": {"pattern": "\\w"}},
         {"type": "object", "properties": {"bad key": {}}},
         {"type": "object", "properties": {"a": {"minimum": True}}},
         {"type": "object", "properties": {"a": {"exclusiveMinimum": True}}},  # no minimum
@@ -202,3 +215,124 @@ def test_liftable_accepts_subset():
     assert liftable({"type": "object"})
     assert liftable({})
     assert liftable({"required": ["a"], "properties": {"a": {}}})
+    # round-4 VERDICT item 6 widenings
+    assert liftable({"items": {"type": "integer"}})
+    assert liftable({"type": "array", "minItems": 1, "maxItems": 3})
+    assert liftable(ARRAY_BATTERY_SCHEMA)
+    assert liftable(
+        {"type": "object", "properties": {"a": {"type": "object", "required": ["b"]}}}
+    )
+    # conservative dual-dialect regex subset IS lifted
+    assert liftable(
+        {"type": "object", "properties": {"a": {"pattern": "^[a-z0-9_]+(?:-[0-9]{1,3})?$"}}}
+    )
+
+
+ARRAY_BATTERY_SCHEMA = {
+    "type": "object",
+    "required": ["id"],
+    "properties": {
+        "id": {"type": "integer"},
+        "tags": {
+            "type": "array",
+            "items": {"type": "string", "minLength": 2, "pattern": "^[a-z-]+$"},
+            "minItems": 1,
+            "maxItems": 3,
+        },
+        "scores": {"items": {"type": "number", "minimum": 0}},
+        "meta": {"type": "object", "required": ["src", "ts"]},
+    },
+}
+
+ARRAY_BATTERY_DOCS = [
+    '{"id": 1, "tags": ["ab", "cd-e"], "meta": {"src": "x", "ts": 0}}',   # clean
+    '{"id": 1, "tags": []}',                          # minItems
+    '{"id": 1, "tags": ["a", "ab", "cd", "ef"]}',     # maxItems + elem minLength
+    '{"id": 1, "tags": ["ab", 3, "UP"]}',             # elem type + pattern
+    '{"id": 1, "tags": "notarray"}',                  # property type
+    '{"id": 1, "scores": [0.5, -1, "x"]}',            # elem minimum + type
+    '{"id": 1, "scores": 7}',                         # no declared type: vacuous
+    '{"id": 1, "meta": {"src": "x"}}',                # nested required
+    '{"id": 1, "meta": [1]}',                         # nested type
+    '{"id": 1, "meta": {}}',                          # both nested keys missing
+    '[1, 2]',                                         # non-object root: only root type fails
+    None,
+]
+
+
+def test_array_battery_parity(spark):
+    rows = _run_both(spark, ARRAY_BATTERY_SCHEMA, ARRAY_BATTERY_DOCS)
+    for i, (va, vb, ta, tb) in enumerate(rows):
+        assert va == vb, f"doc {i}: _valid udf={va} columnar={vb}"
+        assert ta == tb, f"doc {i}: triples udf={ta} columnar={tb}"
+
+
+def test_array_battery_known_verdicts(spark):
+    rows = _run_both(spark, ARRAY_BATTERY_SCHEMA, ARRAY_BATTERY_DOCS)
+    valid = [r[0] for r in rows]
+    assert valid[0] is True
+    assert valid[1] is False and rows[1][2] == [("minItems", "/tags", "/properties/tags/minItems")]
+    assert valid[2] is False
+    assert ("maxItems", "/tags", "/properties/tags/maxItems") in rows[2][2]
+    assert ("minLength", "/tags/0", "/properties/tags/items/minLength") in rows[2][2]
+    assert valid[3] is False
+    assert ("type", "/tags/1", "/properties/tags/items/type") in rows[3][2]
+    assert ("pattern", "/tags/2", "/properties/tags/items/pattern") in rows[3][2]
+    assert valid[4] is False and rows[4][2] == [("type", "/tags", "/properties/tags/type")]
+    assert valid[5] is False
+    assert ("minimum", "/scores/1", "/properties/scores/items/minimum") in rows[5][2]
+    assert ("type", "/scores/2", "/properties/scores/items/type") in rows[5][2]
+    assert valid[6] is True        # scores has no declared type: 7 passes vacuously
+    assert valid[7] is False and rows[7][2] == [("required", "/meta", "/properties/meta/required")]
+    assert valid[8] is False and rows[8][2] == [("type", "/meta", "/properties/meta/type")]
+    assert valid[9] is False and rows[9][2] == [("required", "/meta", "/properties/meta/required")]
+    assert valid[10] is False and rows[10][2] == [("type", "", "/type")]
+    assert valid[11] is None
+
+
+ROOT_ARRAY_SCHEMA = {
+    "type": "array",
+    "items": {"type": "integer", "minimum": 0},
+    "minItems": 1,
+    "maxItems": 4,
+}
+
+ROOT_ARRAY_DOCS = [
+    '[0, 1, 2]',
+    '[]',                       # minItems
+    '[1, 2, 3, 4, 5]',          # maxItems
+    '[1, "x", -2, 1.0]',        # elem type + minimum; 1.0 IS an integer
+    '{"a": 1}',                 # root type
+    '5',
+    'null',
+    None,
+]
+
+
+def test_root_array_parity(spark):
+    rows = _run_both(spark, ROOT_ARRAY_SCHEMA, ROOT_ARRAY_DOCS)
+    for i, (va, vb, ta, tb) in enumerate(rows):
+        assert va == vb, f"doc {i}: _valid udf={va} columnar={vb}"
+        assert ta == tb, f"doc {i}: triples udf={ta} columnar={tb}"
+    valid = [r[0] for r in rows]
+    assert valid[0] is True
+    assert valid[1] is False and rows[1][2] == [("minItems", "", "/minItems")]
+    assert valid[2] is False and rows[2][2] == [("maxItems", "", "/maxItems")]
+    assert valid[3] is False
+    assert ("type", "/1", "/items/type") in rows[3][2]
+    assert ("minimum", "/2", "/items/minimum") in rows[3][2]
+    assert ("type", "/3", "/items/type") not in rows[3][2]  # 1.0 is an integer
+    assert valid[4] is False and valid[5] is False and valid[6] is False
+    assert valid[7] is None
+
+
+def test_auto_routes_dialect_specific_regex_to_udf(spark):
+    """Round-4 ADVICE (medium): Python-only / Unicode-divergent regex
+    syntax must NOT reach rlike — auto routes it to the exact path."""
+    df = spark.createDataFrame([(1, '{"a": "x1"}')], "i int, j string")
+    for pat in ("\\d+", "(?P<n>x)", "(?=x)", "a\\Z"):
+        schema = {"type": "object", "properties": {"a": {"pattern": pat}}}
+        assert not liftable(schema), pat
+        out = validate_json_column_auto(df, "j", schema)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, pat

@@ -171,6 +171,26 @@ def test_transport_failure_is_typed():
     assert ei.value.uri == "http://down.test/s.json"
 
 
+def test_http_fetcher_rejects_non_http_schemes(tmp_path):
+    """Round-4 ADVICE: the HTTP transport must speak only http(s) —
+    an untrusted schema's `"$ref": "file:///etc/passwd"` must raise
+    FetchFailure, never read the local filesystem (the reference's
+    referencesViaHTTP' is HTTP-only by construction, Fetch.hs:58-76)."""
+    from hjsonschema_spark.draft4.fetch import http_fetcher
+
+    secret = tmp_path / "secret.json"
+    secret.write_text('{"x": 1}')
+    fetch = http_fetcher()
+    for uri in (f"file://{secret}", "ftp://x.test/a.json", "data:application/json,{}"):
+        with pytest.raises(FetchFailure) as ei:
+            fetch(uri)
+        assert ei.value.uri == uri
+        assert "scheme" in ei.value.reason
+    # and through the fixpoint walk: the $ref fails typed, no file read
+    with pytest.raises(FetchFailure):
+        fetch_refs({"$ref": f"file://{secret}"}, fetch)
+
+
 def test_parse_failure_is_typed():
     with pytest.raises(FetchFailure) as ei:
         fetch_refs(
