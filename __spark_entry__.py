@@ -75,7 +75,7 @@ _LINEITEM_SUITE = CheckSuite(
 
 
 def _suite_violations_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = run_suite(_t(spark, sf_dir, "lineitem"), _LINEITEM_SUITE)
+    res = run_suite(_t(spark, sf_dir, "lineitem"), _LINEITEM_SUITE, persist="viols")
     return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
         "column", "col_name"
     )
@@ -99,7 +99,8 @@ def _suite_violations_capped_lineitem(spark: SparkSession, sf_dir: str) -> DataF
     the full-suite oracle doubles as the sample's oracle. Over-cap
     behavior is pinned by KATs (test_violation_sampling_*)."""
     res = run_suite(
-        _t(spark, sf_dir, "lineitem"), _LINEITEM_SUITE, max_violations_per_check=100_000
+        _t(spark, sf_dir, "lineitem"), _LINEITEM_SUITE, max_violations_per_check=100_000,
+        persist="viols",
     )
     return res.violations_sample.withColumnRenamed("check", "check_name").withColumnRenamed(
         "column", "col_name"
@@ -114,7 +115,8 @@ def entry(spark: SparkSession) -> DataFrame:
         res.violations.groupBy("check")
         .agg(F.count(F.lit(1)).alias("n_violations"))
         .select("check", "n_violations", (F.col("n_violations") == 0).alias("passed"))
-        .orderBy("check")
+        .repartition(1)
+        .sortWithinPartitions("check")
     )
 
 
@@ -201,7 +203,7 @@ def _conversation_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    res = run_suite(_t(spark, sf_dir, "events"), suite)
+    res = run_suite(_t(spark, sf_dir, "events"), suite, persist="viols")
     return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
         "column", "col_name"
     )
@@ -224,7 +226,7 @@ def _functional_dependency_lineitem(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         ),
     )
-    res = run_suite(_t(spark, sf_dir, "lineitem"), suite)
+    res = run_suite(_t(spark, sf_dir, "lineitem"), suite, persist="viols")
     return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
         "column", "col_name"
     )
@@ -254,10 +256,13 @@ def _agg_bounds_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     res = run_suite(_t(spark, sf_dir, "lineitem"), suite)
+    # O(#checks)-row verdict output: single-partition sort avoids the
+    # range-sampling double execution of the aggregation (guide §2.4)
     return (
         res.verdicts.filter("scope = 'table'")
         .select(F.col("check").alias("check_name"), "passed")
-        .orderBy("check_name")
+        .repartition(1)
+        .sortWithinPartitions("check_name")
     )
 
 
@@ -384,10 +389,15 @@ def _drift_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = run_suite(
         obs, suite, vocab_tables={"type_hist": ref_hist, "value_ref": ref.select("value")}
     )
+    # verdict output is O(#checks) rows at ANY scale: a single-partition
+    # sortWithinPartitions gives the same total order as orderBy without
+    # the RangePartitioning sample job, which re-executed BOTH drift
+    # branches (≈7 events scans) a second time (guide §2.4; plans/r06)
     return (
         res.verdicts.filter(F.col("scope") == "table")
         .select("check", "n_rows", "passed")
-        .orderBy("check")
+        .repartition(1)
+        .sortWithinPartitions("check")
     )
 
 
@@ -653,7 +663,7 @@ def _schema_conformance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             NonNullCount(columns=_LINEITEM_COLS, min_count=11),
         ),
     )
-    res = run_suite(_t(spark, sf_dir, "lineitem"), suite)
+    res = run_suite(_t(spark, sf_dir, "lineitem"), suite, persist="viols")
     return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
         "column", "col_name"
     )
@@ -672,7 +682,7 @@ def _non_null_count_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_columns=("event_id",),
         checks=(NonNullCount(columns=cols, min_count=6),),
     )
-    res = run_suite(ev, suite)
+    res = run_suite(ev, suite, persist="viols")
     return res.violations.select("event_id", F.col("value").alias("n_present"))
 
 
@@ -694,7 +704,7 @@ def _array_positional_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    res = run_suite(li, suite)
+    res = run_suite(li, suite, persist="viols")
     return res.violations.select("l_orderkey", "l_linenumber", "check", "value")
 
 
@@ -719,7 +729,7 @@ def _dependent_schema_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    res = run_suite(ev, suite)
+    res = run_suite(ev, suite, persist="viols")
     return res.violations.select(
         "event_id", F.col("check").alias("check_name"), F.col("value").alias("detail")
     )
@@ -773,7 +783,7 @@ def _map_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             MapRequiredKeys(column="attrs", keys=("k", "debug_trace")),
         ),
     )
-    res = run_suite(ev, suite)
+    res = run_suite(ev, suite, persist="viols")
     return res.violations.select(
         "event_id", F.col("check").alias("check_name"), F.col("value").alias("detail")
     )
@@ -978,7 +988,7 @@ def _schema_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     suite = suite_from_schema(
         _EVENTS_DRAFT4_SCHEMA, name="events", key_columns=("event_id",), unique_key=True
     )
-    res = run_suite(_t(spark, sf_dir, "events"), suite)
+    res = run_suite(_t(spark, sf_dir, "events"), suite, persist="viols")
     return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
         "column", "col_name"
     )
@@ -1029,7 +1039,7 @@ def _nested_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     suite = suite_from_schema(schema, name="events_nested", key_columns=("event_id",))
-    res = run_suite(ev, suite)
+    res = run_suite(ev, suite, persist="viols")
     return res.violations.withColumnRenamed("check", "check_name").withColumnRenamed(
         "column", "col_name"
     )

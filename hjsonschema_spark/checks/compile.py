@@ -497,13 +497,30 @@ def _primary_column(c: RowCheck) -> str | None:
     return getattr(c, "column", None) or getattr(c, "name", None)
 
 
+def _concat_conditional(pairs: list[tuple[Column, Column]], struct_type: str) -> Column:
+    """array of the failure structs whose condition fired, assembled as
+    concat(CASE WHEN fail THEN array(struct) ELSE array() END, ...).
+
+    Semantically identical to array_compact(array(CASE WHEN fail THEN
+    struct END, ...)) but stays inside whole-stage codegen:
+    array_compact lowers to the ArrayFilter higher-order function,
+    which is CodegenFallback — ONE such expression knocked the entire
+    fused-pass Project/Filter out of codegen, running the engine's
+    hottest path interpreted (measured in plans/r06: no codegen id on
+    the row-pass operators; the same class of defect as the CLAUDE.md
+    no-HOFs-in-hot-paths invariant)."""
+    empty = F.lit([]).cast(f"array<{struct_type}>")
+    arrays = [F.when(cond, F.array(s)).otherwise(empty) for cond, s in pairs]
+    return F.concat(*arrays)
+
+
 def compile_fused_pass(df: DataFrame, checks: list[RowCheck]) -> DataFrame:
     """ALL row checks in one projection; appends ``_failures``:
     array<struct<check,column,value>> of the failed checks for the row.
     All validators run, all failures collected — no short-circuit
     (src/JSONSchema/Types.hs:20-26)."""
-    structs = [
-        F.when(
+    pairs = [
+        (
             ~compile_row_predicate(c),
             F.struct(
                 F.lit(check_id(c)).alias("check"),
@@ -513,9 +530,11 @@ def compile_fused_pass(df: DataFrame, checks: list[RowCheck]) -> DataFrame:
         )
         for c in checks
     ]
-    if not structs:
+    if not pairs:
         return df.withColumn("_failures", F.lit([]).cast(f"array<struct<{FAILURE_STRUCT}>>"))
-    return df.withColumn("_failures", F.array_compact(F.array(*structs)))
+    return df.withColumn(
+        "_failures", _concat_conditional(pairs, f"struct<{FAILURE_STRUCT}>")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -718,7 +737,7 @@ def run_group_scope_checks(
             bad = ~F.coalesce(ok, F.lit(True))
             value = s.cast("string")
         structs.append(
-            F.when(
+            (
                 bad,
                 F.struct(
                     F.lit(check_id(c)).alias("check"),
@@ -728,7 +747,10 @@ def run_group_scope_checks(
             )
         )
     exploded = agg.select(
-        *g, F.explode(F.array_compact(F.array(*structs))).alias("_f")
+        *g,
+        F.explode(
+            _concat_conditional(structs, f"struct<{FAILURE_STRUCT}>")
+        ).alias("_f"),
     )
     return exploded.select(
         *_group_scope_select(df, g, key_columns),
@@ -851,7 +873,7 @@ def run_ordered_fused(
     # Struct fields: check, column, value, grp (group-scope row ⇒ key
     # columns outside group_by are NULLed in the final select).
     def _viol(cond, check, column, value, grp):
-        return F.when(
+        return (
             cond,
             F.struct(
                 F.lit(check).alias("check"),
@@ -912,7 +934,12 @@ def run_ordered_fused(
                 False,
             )
         )
-    arr = F.filter(F.array(*structs), lambda s: s.isNotNull())
+    # concat-of-conditional-arrays instead of filter(array(...)):
+    # the ArrayFilter HOF is CodegenFallback and would knock this
+    # Project out of whole-stage codegen (see _concat_conditional)
+    arr = _concat_conditional(
+        structs, f"struct<{FAILURE_STRUCT}, grp boolean>"
+    )
     exploded = base.select(*[F.col(k) for k in dict.fromkeys([*g, *key_columns])],
                            F.explode(arr).alias("_f"))
     dtypes = dict(df.dtypes)

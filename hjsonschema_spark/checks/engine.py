@@ -190,11 +190,15 @@ def _slim_pass(checked: DataFrame, key_columns: tuple) -> DataFrame:
 
 
 def _row_violations(slim: DataFrame, key_columns: tuple) -> DataFrame:
+    # no filter(size(_failures) > 0) before the explode: Generate with
+    # outer=false already drops rows whose array is empty, and the
+    # filter made the (expensive) fused failure-array expression
+    # evaluate TWICE per row — once in the Filter condition, once in
+    # the Project feeding the explode (plans/r06 suite_violations
+    # before-plan, operators (2)+(3))
     f = F.explode("_failures").alias("f")
-    return (
-        slim.filter(F.size("_failures") > 0)
-        .select(*key_columns, f)
-        .select(*key_columns, "f.check", "f.column", "f.value")
+    return slim.select(*key_columns, f).select(
+        *key_columns, "f.check", "f.column", "f.value"
     )
 
 
@@ -314,7 +318,7 @@ def run_suite(
     registry: SuiteRegistry | None = None,
     vocab_tables: dict[str, DataFrame] | None = None,
     include_stats: bool = False,
-    persist: bool = False,
+    persist: "bool | str" = False,
     max_violations_per_check: int | None = None,
 ) -> ValidationResult:
     """Compile + execute a suite against a DataFrame.
@@ -322,7 +326,15 @@ def run_suite(
     persist=True caches the fused-pass output and the (unsorted)
     violations union so that consuming violations AND verdicts AND
     summary() does not re-execute the table passes — the right mode
-    when more than one output is materialized."""
+    when more than one output is materialized.
+
+    persist="viols" caches ONLY the (small) unsorted violations union,
+    not the n_rows-sized slim pass: the right mode when a caller
+    materializes just the globally sorted ``violations`` — the sort's
+    RangePartitioning boundary sampling otherwise executes the whole
+    union pipeline a second time (sample job + output job), doubling
+    every scan and shuffle below the sort (guide §2.4; measured on
+    suite_violations_lineitem)."""
     suite.validate_config()  # schema validated before data (Draft4.hs:134-148)
     reg = registry or SuiteRegistry().add(suite)
     if suite.name not in reg.suites:
@@ -496,7 +508,8 @@ def run_suite(
     # it, so the input is scanned exactly ONCE per row pass.
     slim = _slim_pass(checked, keys)
     persisted: list[DataFrame] = []
-    if persist:
+    persist_slim = persist is True  # "viols" mode skips the big slim cache
+    if persist_slim:
         # Storage level is tunable because the slim frame is large (one
         # row per input row): in-heap caching of ~10^8 rows competes
         # with 32 concurrent task buffers for the unified memory pool

@@ -9,6 +9,9 @@ from hjsonschema_spark.functions.columns import (  # noqa: F401
     l2_norm,
     normalize_text,
     portable_hash60,
+    stopword_run_count,
+    token_chars_count,
+    token_run_count,
     token_shingles,
     tokens,
 )

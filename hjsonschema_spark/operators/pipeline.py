@@ -241,9 +241,11 @@ def pack_sequences(
     Zero-token docs occupy no space and never straddle.
     """
     if token_count_col is None:
-        from hjsonschema_spark.functions import tokens
+        # regexp_count of token runs == size(tokens(text)) but stays in
+        # whole-stage codegen (filter() HOF is CodegenFallback)
+        from hjsonschema_spark.functions import token_run_count
 
-        token_count_col = F.size(tokens(F.col("text")))
+        token_count_col = token_run_count(F.col("text"))
     from pyspark.sql import Window
 
     bucket = F.substring(

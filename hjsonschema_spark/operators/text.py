@@ -7,7 +7,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hjsonschema_spark.functions import doc_fingerprint, normalize_text, tokens
+from hjsonschema_spark.functions import (
+    doc_fingerprint,
+    normalize_text,
+    stopword_run_count,
+    token_chars_count,
+    token_run_count,
+    tokens,
+)
 
 # tiny stopword lists for the n-gram/stopword language heuristic;
 # deliberately small & frozen so the SQL oracle can embed them verbatim
@@ -20,13 +27,14 @@ STOPWORDS = {
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace+punct token count (BPE-ish proxy: words + digits)."""
-    return F.size(tokens(col))
+    """Whitespace+punct token count (BPE-ish proxy: words + digits).
+    regexp_count of maximal token runs == size(tokens(col)), but stays
+    in whole-stage codegen (the filter() HOF is CodegenFallback)."""
+    return token_run_count(col)
 
 
 def _stopword_hits(col: Column, lang: str) -> Column:
-    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stop, t)))
+    return stopword_run_count(col, STOPWORDS[lang])
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
@@ -35,33 +43,35 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """argmax of stopword hits; ties/zero => 'und' (undetermined).
-    Deterministic tie-break: language with the most hits, then
-    alphabetical order."""
+    Pinned contract (unchanged): max hits, lexicographically GREATEST
+    lang among ties. Implemented as greatest() + a when-chain in
+    descending lang order — the same decision procedure as the DuckDB
+    oracle's CASE — instead of array_max over a struct array, whose
+    filter() HOF forced the whole projection out of codegen."""
     scores = lang_scores(col)
-    pairs = F.array(
-        *[
-            F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
-            for lang in sorted(STOPWORDS)
-        ]
-    )
-    best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
-    # array_max on struct compares field-by-field: hits first, then
-    # lang — i.e. max hits, tie-break by LAST alphabetical lang; invert
-    # lang order for the conventional first-alphabetical tiebreak is
-    # not oracle-friendly, so we pin: max hits, lexicographically
-    # greatest lang among ties (documented contract).
-    return F.coalesce(best["lang"], F.lit("und"))
+    langs_desc = sorted(STOPWORDS, reverse=True)  # fr, es, en, de
+    g = F.greatest(*[scores[lang] for lang in sorted(STOPWORDS)])
+    out = F.when(g.isNull() | (g == 0), F.lit("und"))
+    for lang in langs_desc[:-1]:
+        out = out.when(scores[lang] == g, F.lit(lang))
+    return out.otherwise(F.lit(langs_desc[-1]))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features + composite score in one projection."""
     col = F.col(text_col)
     n_chars = F.length(col)
-    toks = tokens(col)
-    n_tokens = F.size(toks)
+    # HOF-free forms (identical integers — see functions.columns):
+    # size(tokens) -> regexp_count of token runs; aggregate-sum of
+    # token lengths -> count of kept token characters. With no
+    # CodegenFallback expression left, the whole projection runs in
+    # whole-stage codegen WITH subexpression elimination — the HOF form
+    # ran interpreted and re-tokenized the text ~14x per row
+    # (plans/r06/quality_documents_before.txt operator (3)).
+    n_tokens = token_run_count(col)
     mean_tok_len = F.when(
         n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tokens,
+        token_chars_count(col).cast("double") / n_tokens,
     ).otherwise(F.lit(0.0))
     n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
