@@ -93,42 +93,73 @@ def token_shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", ts))))
 
 
-def exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
     """(id, n_sh, shingle) rows: distinct k-token shingles per doc.
 
     Shape matters: the array-expression formulation
     (``token_shingles``) re-evaluates the regex tokenization once PER
     SHINGLE inside the nested lambda (Catalyst inlines the tokens
-    expression; measured 16s for 5k docs). Here tokens are exploded
-    ONCE and shingles built with window ``lead`` — flat codegen ops,
-    one shuffle by id. Docs with fewer than k tokens contribute their
-    whole token string (matching token_shingles / the SQL oracle) —
-    including ZERO-token docs, which emit one empty-string shingle
-    (posexplode_outer keeps them as a (NULL, NULL) row; plain posexplode
-    would silently drop them and diverge from the oracle)."""
+    expression; measured 16s for 5k docs). Here the token ARRAY is
+    computed once per doc (its own projection, so CollapseProject does
+    not re-inline the non-cheap expression into its 3 consumers), the
+    per-doc token count and the short-doc whole-string fallback are
+    derived BEFORE the explode, and shingles are built with window
+    ``lead`` — flat codegen ops, ONE shuffle by id. The previous shape
+    derived the count and the fallback from two extra whole-group
+    window frames AFTER the explode (an unbounded count and an
+    unbounded collect_list — both buffer entire groups, the round-3
+    scaling anti-pattern) plus a dropDuplicates exchange on
+    (id, shingle) and a third window for n_sh: 3 exchanges and 3 window
+    passes where this needs 1 and 1 (plans/r06 minhash before/after).
+
+    Docs with fewer than k tokens contribute their whole token string
+    (matching token_shingles / the SQL oracle) — including ZERO-token
+    and NULL-text docs, which emit one empty-string shingle
+    (posexplode_outer keeps them as a (NULL, NULL) row).
+
+    distinct=False returns the (id, shingle) MULTISET — no dedup, no
+    n_sh — for consumers whose aggregate is duplicate-insensitive
+    (MinHash: min over a multiset equals min over its set), skipping
+    the collect_set entirely."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col), F.posexplode_outer(tokens(F.col(text_col))).alias("_pos", "_tok")
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_ts")).select(
+        F.col(id_col),
+        F.coalesce(F.size("_ts"), F.lit(0)).alias("_n"),
+        # whole-string fallback carried only for short docs (NULL for
+        # the rest, so the exploded rows duplicate no payload)
+        F.when(
+            F.coalesce(F.size("_ts"), F.lit(0)) < k,
+            F.coalesce(F.array_join("_ts", " "), F.lit("")),
+        ).alias("_whole"),
+        F.col("_ts"),
+    )
+    toks = base.select(
+        F.col(id_col), "_n", "_whole", F.posexplode_outer("_ts").alias("_pos", "_tok")
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
-    wall = Window.partitionBy(id_col)
     leads = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
-    n_toks = F.count("_tok").over(wall)  # NULL-excluding: empty doc => 0
     sh = toks.select(
         F.col(id_col),
-        n_toks.alias("_n_toks"),
-        F.col("_pos"),
-        F.when(n_toks >= k, F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)))
+        F.when(F.col("_n") >= k, F.when(leads[-1].isNotNull(), F.concat_ws(" ", *leads)))
         .otherwise(
-            F.when(
-                (F.col("_pos") == 0) | F.col("_pos").isNull(),
-                F.concat_ws(" ", F.collect_list("_tok").over(wall.orderBy("_pos").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))),
-            )
+            F.when((F.col("_pos") == 0) | F.col("_pos").isNull(), F.col("_whole"))
         )
         .alias("shingle"),
-    ).filter(F.col("shingle").isNotNull()).dropDuplicates([id_col, "shingle"])
-    return sh.withColumn("n_sh", F.count(F.lit(1)).over(wall)).select(id_col, "n_sh", "shingle")
+    ).filter(F.col("shingle").isNotNull())
+    if not distinct:
+        return sh
+    # the window's hash(id) partitioning satisfies the groupBy — no
+    # second exchange; collect_set buffers one doc's distinct-shingle
+    # set, the same order of memory as the collect_list fallback before
+    agg = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_set"))
+    return agg.select(
+        F.col(id_col),
+        F.size("_set").alias("n_sh"),
+        F.explode("_set").alias("shingle"),
+    )
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:

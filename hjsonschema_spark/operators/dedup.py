@@ -82,7 +82,10 @@ def minhash_signatures(
     from hjsonschema_spark.functions import portable_hash60
 
     df = fan_out(df)
-    ex = exploded_shingles(df, id_col, text_col, k=shingle_k)
+    # multiset mode: min over duplicate shingles equals min over the
+    # distinct set, so MinHash skips the shingle dedup aggregation
+    # entirely (one fewer pass; identical signatures)
+    ex = exploded_shingles(df, id_col, text_col, k=shingle_k, distinct=False)
     if hash_mode == "md5":
         ex = ex.select(F.col(id_col), F.substring(F.md5("shingle"), 1, 16).alias("_b"))
         aggs = [
@@ -150,18 +153,26 @@ def minhash_lsh_pairs(
     right = banded.select(
         "band_idx", "band_hash", F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
     )
-    cand = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # estimate + threshold BEFORE the pair dedup: the estimate is a
+    # pure function of the two signatures, so it is identical on every
+    # banded match of a pair — computing it per match and deduplicating
+    # (id_a, id_b, est) afterwards returns the same rows, but the dedup
+    # aggregation now carries 24-byte rows instead of two 64-long
+    # signature arrays (whose non-fixed-width first() forced a
+    # SortAggregate with a full sort on both sides of its exchange —
+    # plans/r06 minhash before-plan (46)-(50)), and the threshold
+    # prunes non-pairs before the exchange instead of after it.
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b))
         / F.lit(float(num_hashes))
     )
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 
@@ -313,14 +324,19 @@ def simhash_near_duplicates(
     banded = sigs.select(id_col, "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk"))
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
-    cand = (
+    # hamming + threshold before the pair dedup (same rewrite as
+    # minhash_lsh_pairs: the distance is identical on every chunk match
+    # of a pair, and the <= max_hamming filter prunes rows before the
+    # dedup exchange instead of after it)
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
 def connected_components(
