@@ -66,6 +66,31 @@ from hjsonschema_spark.checks.ir import (
 FAILURE_STRUCT = "check string, column string, value string"
 
 
+def _ctx_id() -> int:
+    """Identity of the live SparkContext — memo key component.
+
+    Unresolved Column expressions are plain JVM objects with no
+    DataFrame binding, so they are reusable across queries and runs in
+    one JVM; keying memos on the context identity only guards the
+    corner where a context is stopped and a new one started in the same
+    process (pandas_udf handles cache their _judf per context)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc) if sc is not None else 0
+
+
+# (ctx_id, checks tuple) -> assembled _failures Column. Plan-construction
+# memo only: the expression is a pure function of the check configs
+# (frozen dataclasses), building it costs thousands of py4j round trips
+# (measured 0.19s for 6 checks, ~0.5s for the 13-check transcript
+# suite), and bench/production loops re-validate with identical suites
+# every run. No data or results are cached — every run still executes
+# the full computation from the inputs.
+_FUSED_MEMO: dict = {}
+_MEMO_CAP = 512
+
+
 def _guard(col: Column, pred: Column) -> Column:
     """NULL value => vacuous pass; NULL predicate => False."""
     return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
@@ -514,11 +539,7 @@ def _concat_conditional(pairs: list[tuple[Column, Column]], struct_type: str) ->
     return F.concat(*arrays)
 
 
-def compile_fused_pass(df: DataFrame, checks: list[RowCheck]) -> DataFrame:
-    """ALL row checks in one projection; appends ``_failures``:
-    array<struct<check,column,value>> of the failed checks for the row.
-    All validators run, all failures collected — no short-circuit
-    (src/JSONSchema/Types.hs:20-26)."""
+def _fused_failures_column(checks: tuple) -> Column:
     pairs = [
         (
             ~compile_row_predicate(c),
@@ -531,10 +552,26 @@ def compile_fused_pass(df: DataFrame, checks: list[RowCheck]) -> DataFrame:
         for c in checks
     ]
     if not pairs:
-        return df.withColumn("_failures", F.lit([]).cast(f"array<struct<{FAILURE_STRUCT}>>"))
-    return df.withColumn(
-        "_failures", _concat_conditional(pairs, f"struct<{FAILURE_STRUCT}>")
-    )
+        return F.lit([]).cast(f"array<struct<{FAILURE_STRUCT}>>")
+    return _concat_conditional(pairs, f"struct<{FAILURE_STRUCT}>")
+
+
+def compile_fused_pass(df: DataFrame, checks: list[RowCheck]) -> DataFrame:
+    """ALL row checks in one projection; appends ``_failures``:
+    array<struct<check,column,value>> of the failed checks for the row.
+    All validators run, all failures collected — no short-circuit
+    (src/JSONSchema/Types.hs:20-26). The assembled expression is
+    memoized per (SparkContext, check configs) — see _FUSED_MEMO."""
+    try:
+        key = (_ctx_id(), tuple(checks))
+        col = _FUSED_MEMO.get(key)
+        if col is None:
+            if len(_FUSED_MEMO) >= _MEMO_CAP:
+                _FUSED_MEMO.clear()
+            col = _FUSED_MEMO[key] = _fused_failures_column(tuple(checks))
+    except TypeError:  # unhashable custom check config: build unmemoized
+        col = _fused_failures_column(tuple(checks))
+    return df.withColumn("_failures", col)
 
 
 # --------------------------------------------------------------------------
@@ -713,11 +750,34 @@ def run_group_scope_checks(
             needed.append(c.column)
     slim = df.select(*dict.fromkeys(needed))
 
+    mkey = (_ctx_id(), tuple(checks))
+    bundle = _GROUP_MEMO.get(mkey)
+    if bundle is None:
+        if len(_GROUP_MEMO) >= _MEMO_CAP:
+            _GROUP_MEMO.clear()
+        bundle = _GROUP_MEMO[mkey] = _group_scope_exprs(tuple(checks))
+    aggs, arr = bundle
+    agg = slim.groupBy(*g).agg(*aggs)
+    exploded = agg.select(*g, F.explode(arr).alias("_f"))
+    return exploded.select(
+        *_group_scope_select(df, g, key_columns),
+        F.col("_f.check").alias("check"),
+        F.col("_f.column").alias("column"),
+        F.col("_f.value").alias("value"),
+    )
+
+
+_GROUP_MEMO: dict = {}
+
+
+def _group_scope_exprs(checks: tuple) -> tuple:
+    """(agg expressions, violation array Column) for
+    run_group_scope_checks — DataFrame-independent, memoized per
+    config (same rationale as _FUSED_MEMO)."""
     aggs = []
     for i, c in enumerate(checks):
         expr = _seq_agg_expr(c) if isinstance(c, SequencePattern) else _group_bounds_expr(c)
         aggs.append(expr.alias(f"_s{i}"))
-    agg = slim.groupBy(*g).agg(*aggs)
 
     structs = []
     for i, c in enumerate(checks):
@@ -746,18 +806,8 @@ def run_group_scope_checks(
                 ),
             )
         )
-    exploded = agg.select(
-        *g,
-        F.explode(
-            _concat_conditional(structs, f"struct<{FAILURE_STRUCT}>")
-        ).alias("_f"),
-    )
-    return exploded.select(
-        *_group_scope_select(df, g, key_columns),
-        F.col("_f.check").alias("check"),
-        F.col("_f.column").alias("column"),
-        F.col("_f.value").alias("value"),
-    )
+    arr = _concat_conditional(structs, f"struct<{FAILURE_STRUCT}>")
+    return tuple(aggs), arr
 
 
 def run_monotonic(df: DataFrame, c: Monotonic, key_columns: tuple) -> DataFrame:
@@ -802,15 +852,65 @@ def run_ordered_fused(
     memory-contention amplifier, capping N->4N scaling of the whole
     suite at ~0.45 (event logs, BENCH/analyze_eventlog.py).
     """
-    from pyspark.sql import Window
-
     g = list(group_by)
-    o = F.col(order_col)
     # column-prune BEFORE the shuffle: the pass needs only keys, the
     # order column, and the monotonic columns — not the (wide) payload
     needed = list(dict.fromkeys([*g, order_col, *(mc.column for mc in monos or []), *key_columns]))
     # pin a single exchange: every window below is satisfied by hash(g)
     base = df.select(*needed).repartition(*g)
+    # window/violation expressions are pure functions of the check
+    # configs — memoized like the fused row pass (_FUSED_MEMO)
+    mkey = (_ctx_id(), tuple(g), order_col, unique, contig, tuple(monos or []))
+    bundle = _ORDERED_MEMO.get(mkey)
+    if bundle is None:
+        if len(_ORDERED_MEMO) >= _MEMO_CAP:
+            _ORDERED_MEMO.clear()
+        bundle = _ORDERED_MEMO[mkey] = _ordered_exprs(
+            tuple(g), order_col, unique, contig, tuple(monos or [])
+        )
+    wincols, arr = bundle
+    if wincols:
+        base = base.withColumns(dict(wincols))
+    exploded = base.select(*[F.col(k) for k in dict.fromkeys([*g, *key_columns])],
+                           F.explode(arr).alias("_f"))
+    dtypes = dict(df.dtypes)
+    sel = [
+        (
+            F.col(k)
+            if k in g
+            else F.when(~F.col("_f.grp"), F.col(k))
+            .otherwise(F.lit(None))
+            .cast(dtypes.get(k, "string"))
+            .alias(k)
+        )
+        for k in key_columns
+    ]
+    return [
+        exploded.select(
+            *sel,
+            F.col("_f.check").alias("check"),
+            F.col("_f.column").alias("column"),
+            F.col("_f.value").alias("value"),
+        )
+    ]
+
+
+_ORDERED_MEMO: dict = {}
+
+
+def _ordered_exprs(
+    g: tuple,
+    order_col: str,
+    unique: "UniqueKey | None",
+    contig: "Contiguous | None",
+    monos: tuple,
+) -> tuple:
+    """(window columns to append in order, violation array Column) for
+    run_ordered_fused — DataFrame-independent, memoized per config."""
+    from pyspark.sql import Window
+
+    o = F.col(order_col)
+    wincols: list = []
     w_ord = Window.partitionBy(*g).orderBy(order_col)
     if unique is not None:
         # duplicate-key count as the ORDER-PEER group size: a RANGE
@@ -820,14 +920,16 @@ def run_ordered_fused(
         # it folds into the same WindowExec instead of adding a
         # second partition pass (NULL ties group together in both
         # formulations; NULL-keyed rows are filtered below anyway).
-        base = base.withColumn(
-            "_kc",
-            F.count(F.lit(1)).over(
-                w_ord.rangeBetween(Window.currentRow, Window.currentRow)
-            ),
+        wincols.append(
+            (
+                "_kc",
+                F.count(F.lit(1)).over(
+                    w_ord.rangeBetween(Window.currentRow, Window.currentRow)
+                ),
+            )
         )
     for i, mc in enumerate(monos or []):
-        base = base.withColumn(f"_prev_{i}", F.lag(F.col(mc.column)).over(w_ord))
+        wincols.append((f"_prev_{i}", F.lag(F.col(mc.column)).over(w_ord)))
     if contig is not None:
         # Group statistics via RUNNING aggregates read at each group's
         # LAST row, not whole-group window frames. An unbounded
@@ -850,18 +952,21 @@ def run_ordered_fused(
         # and the group contains NULLs iff row_number > count(o), so
         # subtracting that indicator yields count_distinct(o) —
         # matching run_contiguous and the SQL oracle.
-        base = (
-            base.withColumn("_last", F.lead(F.lit(1)).over(w_ord).isNull())
-            .withColumn("_mn", F.min(o).over(w_ord))
-            .withColumn("_mx", F.max(o).over(w_ord))
-            .withColumn("_n", F.count(o).over(w_ord))
-            .withColumn("_rn", F.row_number().over(w_ord))
-            .withColumn("_dr", F.dense_rank().over(w_ord))
-            .withColumn(
+        # _nd inlines its dense_rank/row_number/count terms instead of
+        # referencing sibling columns so the whole bundle can be added
+        # with ONE withColumns call (eager per-op analysis made each
+        # chained withColumn cost ~10 ms of driver time)
+        wincols += [
+            ("_last", F.lead(F.lit(1)).over(w_ord).isNull()),
+            ("_mn", F.min(o).over(w_ord)),
+            ("_mx", F.max(o).over(w_ord)),
+            ("_n", F.count(o).over(w_ord)),
+            (
                 "_nd",
-                F.col("_dr") - (F.col("_rn") > F.col("_n")).cast("long"),
-            )
-        )
+                F.dense_rank().over(w_ord)
+                - (F.row_number().over(w_ord) > F.count(o).over(w_ord)).cast("long"),
+            ),
+        ]
     # Assemble every fused check's violation as an element of ONE
     # per-row array and explode — the same shape as the fused row pass.
     # Emitting one DataFrame per check instead (pre-round-2 design)
@@ -940,28 +1045,7 @@ def run_ordered_fused(
     arr = _concat_conditional(
         structs, f"struct<{FAILURE_STRUCT}, grp boolean>"
     )
-    exploded = base.select(*[F.col(k) for k in dict.fromkeys([*g, *key_columns])],
-                           F.explode(arr).alias("_f"))
-    dtypes = dict(df.dtypes)
-    sel = [
-        (
-            F.col(k)
-            if k in g
-            else F.when(~F.col("_f.grp"), F.col(k))
-            .otherwise(F.lit(None))
-            .cast(dtypes.get(k, "string"))
-            .alias(k)
-        )
-        for k in key_columns
-    ]
-    return [
-        exploded.select(
-            *sel,
-            F.col("_f.check").alias("check"),
-            F.col("_f.column").alias("column"),
-            F.col("_f.value").alias("value"),
-        )
-    ]
+    return tuple(wincols), arr
 
 
 _AGG_FNS = {

@@ -60,12 +60,24 @@ class ValidationResult:
     suite: CheckSuite
     checked: DataFrame  # input + `_failures` array column
     violations: DataFrame  # key cols + (check, column, value), globally sorted
-    verdicts: DataFrame  # scope, partition_id, check, n_rows, n_violations, passed
+    # verdicts (scope, partition_id, check, n_rows, n_violations,
+    # passed) — materialized lazily from a zero-arg factory: assembling
+    # the verdict union costs ~15 eagerly-analyzed DataFrame ops
+    # (~0.1 s of driver time), which violations-only consumers — the
+    # common bench/CLI path — never need. Config validation stays
+    # eager in run_suite; only the frame CONSTRUCTION is deferred.
+    _verdicts_src: Any = None  # DataFrame | () -> DataFrame
     stats: DataFrame | None = None
     # bounded per-check sample of violations (only when run_suite was
     # given max_violations_per_check) — counts in verdicts stay exact
     violations_sample: DataFrame | None = None
     _slim: DataFrame | None = field(default=None, repr=False)
+
+    @property
+    def verdicts(self) -> DataFrame:
+        if callable(self._verdicts_src):
+            self._verdicts_src = self._verdicts_src()
+        return self._verdicts_src
 
     def group_verdicts(self, group_columns: list[str] | tuple) -> DataFrame:
         """Per-group row-check pass/fail (e.g. per conversation:
@@ -533,7 +545,9 @@ def run_suite(
     # scan in the violations plan: size([]) > 0 is always false but
     # Catalyst does not fold the scan away, so skip the branch outright
     viols = [_row_violations(slim, keys)] if row_checks else []
-    verdicts = [_partition_verdicts(slim)]
+    # verdict frames are assembled lazily (ValidationResult._verdicts_src):
+    # each part is a zero-arg factory; config validation stays eager
+    verdict_parts: list = [lambda: _partition_verdicts(slim)]
 
     # every NullRateMax + AggBounds folds into ONE lazy aggregation pass
     # (column-pruned scan of just the checked columns, no eager .first()
@@ -543,7 +557,7 @@ def run_suite(
     agg_level = [c for c in table_checks if isinstance(c, (NullRateMax, AggBounds))]
     table_checks = [c for c in table_checks if not isinstance(c, (NullRateMax, AggBounds))]
     if agg_level:
-        verdicts.append(C.run_table_aggregates(df, agg_level))
+        verdict_parts.append(lambda: C.run_table_aggregates(df, agg_level))
 
     # distribution-drift checks (north star: chi² on role histograms,
     # KS on turn-length) produce table-scope verdict rows, not
@@ -557,7 +571,7 @@ def run_suite(
         if ref is None:
             raise ConfigInvalid(f"{type(c).__name__}: no vocab table named {c.ref_name!r}")
         runner = C.run_chi2_drift if isinstance(c, ChiSquareDrift) else C.run_ks_drift
-        verdicts.append(runner(df, c, ref))
+        verdict_parts.append(lambda r=runner, ck=c, rf=ref: r(df, ck, rf))
 
     # every violation-producing check gets a check-scope verdict row,
     # passed=True when it found nothing (resolved before fusion so
@@ -679,40 +693,48 @@ def run_suite(
             .orderBy(*keys, "check")
         )
 
+    from hjsonschema_spark.session import cached_local_df
+
     spark = df.sparkSession
-    ids_df = spark.createDataFrame([(i,) for i in viol_check_ids], "check string")
-    table_verdicts = (
-        ids_df.join(
-            all_viols.groupBy("check").agg(F.count(F.lit(1)).alias("n_violations")),
-            "check",
-            "left",
+
+    def _build_verdicts() -> DataFrame:
+        ids_df = cached_local_df(
+            spark, tuple((i,) for i in viol_check_ids), "check string"
         )
-        .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)).cast("long"))
-        .select(
-            F.lit("check").alias("scope"),
-            F.lit(None).cast("int").alias("partition_id"),
-            "check",
-            F.lit(None).cast("long").alias("n_rows"),
-            "n_violations",
-            (F.col("n_violations") == 0).alias("passed"),
-        )
-    )
-    if schema_verdicts:
-        verdicts.append(
-            spark.createDataFrame(
-                [("schema", None, cid, None, n_bad, ok) for cid, ok, n_bad in schema_verdicts],
-                "scope string, partition_id int, check string, n_rows long, n_violations long, passed boolean",
+        table_verdicts = (
+            ids_df.join(
+                all_viols.groupBy("check").agg(F.count(F.lit(1)).alias("n_violations")),
+                "check",
+                "left",
+            )
+            .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)).cast("long"))
+            .select(
+                F.lit("check").alias("scope"),
+                F.lit(None).cast("int").alias("partition_id"),
+                "check",
+                F.lit(None).cast("long").alias("n_rows"),
+                "n_violations",
+                (F.col("n_violations") == 0).alias("passed"),
             )
         )
-    all_verdicts = verdicts[0]
-    for v in verdicts[1:] + [table_verdicts]:
-        all_verdicts = all_verdicts.unionByName(v)
+        parts = [p() for p in verdict_parts]
+        if schema_verdicts:
+            parts.append(
+                spark.createDataFrame(
+                    [("schema", None, cid, None, n_bad, ok) for cid, ok, n_bad in schema_verdicts],
+                    "scope string, partition_id int, check string, n_rows long, n_violations long, passed boolean",
+                )
+            )
+        all_verdicts = parts[0]
+        for v in parts[1:] + [table_verdicts]:
+            all_verdicts = all_verdicts.unionByName(v)
+        return all_verdicts
 
     return ValidationResult(
         suite=suite,
         checked=checked,
         violations=sorted_viols,
-        verdicts=all_verdicts,
+        _verdicts_src=_build_verdicts,
         stats=column_stats(df) if include_stats else None,
         violations_sample=sample,
         _slim=slim,

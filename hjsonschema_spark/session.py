@@ -88,6 +88,26 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_LOCAL_DF_MEMO: dict = {}
+
+
+def cached_local_df(spark: SparkSession, rows: tuple, schema: str):
+    """Memoized createDataFrame for SMALL STATIC local relations (check
+    id lists, literal vocabularies). createDataFrame costs a py4j
+    round-trip burst (~30-80 ms) and bench/production loops rebuild the
+    identical relation every run. Keyed on the session OBJECT (not its
+    id — holding the reference also prevents id reuse after gc), so a
+    new session never sees a stale frame. Plan-construction memo only:
+    rows must be static configuration, never data-derived."""
+    key = (spark, schema, rows)
+    df = _LOCAL_DF_MEMO.get(key)
+    if df is None:
+        if len(_LOCAL_DF_MEMO) >= 256:
+            _LOCAL_DF_MEMO.clear()
+        df = _LOCAL_DF_MEMO[key] = spark.createDataFrame(list(rows), schema)
+    return df
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     """True if the Iceberg Spark runtime is on the classpath."""
     global _ICEBERG_AVAILABLE

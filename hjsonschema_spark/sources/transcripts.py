@@ -219,8 +219,12 @@ class TranscriptGen:
 
 
 def role_vocab_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(r,) for r in ROLE_VOCAB], "role string")
+    from hjsonschema_spark.session import cached_local_df
+
+    return cached_local_df(spark, tuple((r,) for r in ROLE_VOCAB), "role string")
 
 
 def tool_vocab_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([(t,) for t in TOOL_VOCAB], "tool string")
+    from hjsonschema_spark.session import cached_local_df
+
+    return cached_local_df(spark, tuple((t,) for t in TOOL_VOCAB), "tool string")
