@@ -142,7 +142,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def _ref_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hjsonschema_spark.session import cached_local_df
 
-    events = _t(spark, sf_dir, "events")
+    from hjsonschema_spark.functions import fan_out
+
+    events = fan_out(_t(spark, sf_dir, "events"))
     vocab = cached_local_df(
         spark, tuple((v,) for v in EVENT_VOCAB), "event_type string"
     )
@@ -154,7 +156,9 @@ def _ref_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from hjsonschema_spark.functions import fan_out
+
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     aggs = []
     for c in cols:
@@ -641,7 +645,9 @@ def _draft4_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame
     compiled once per worker, Arrow-batched (draft4/udf.py)."""
     from hjsonschema_spark.draft4.udf import validate_json_column
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    from hjsonschema_spark.functions import fan_out
+
+    ev = fan_out(_t(spark, sf_dir, "events")).select("event_id", "props")
     out = validate_json_column(ev, "props", _EVENTS_PROPS_SCHEMA)
     return out.select("event_id", "_valid")
 
@@ -654,7 +660,9 @@ def _draft4_validate_events_columnar(spark: SparkSession, sf_dir: str) -> DataFr
     semantics)."""
     from hjsonschema_spark.draft4.columnar import validate_json_column_auto
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    from hjsonschema_spark.functions import fan_out
+
+    ev = fan_out(_t(spark, sf_dir, "events")).select("event_id", "props")
     out = validate_json_column_auto(ev, "props", _EVENTS_PROPS_SCHEMA)
     return out.select("event_id", "_valid")
 
@@ -1075,8 +1083,10 @@ def _pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND the md5 of the redacted bytes."""
     from hjsonschema_spark.operators.pii import pii_signals, redact_pii
 
+    from hjsonschema_spark.functions import fan_out
+
     doc = F.col("doc_id").cast("string")
-    derived = _t(spark, sf_dir, "documents").select(
+    derived = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),

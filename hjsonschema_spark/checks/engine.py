@@ -348,6 +348,17 @@ def run_suite(
     every scan and shuffle below the sort (guide §2.4; measured on
     suite_violations_lineitem)."""
     suite.validate_config()  # schema validated before data (Draft4.hs:134-148)
+    # Adaptive scan fan-out (guide §2.5 input skew / §6 split sizing):
+    # a small single-file parquet input yields as few as ONE busy scan
+    # task (splits are byte-ranges but rows live in one row group), so
+    # the whole fused row pass ran single-core (measured: 2.2s of a
+    # 3.0s clean_rows wall in one task at sf0.1). fan_out round-robins
+    # narrow inputs to defaultParallelism and is a NO-OP whenever the
+    # input already has enough partitions — real multi-file tables and
+    # the cached transcripts input are untouched.
+    from hjsonschema_spark.functions import fan_out
+
+    df = fan_out(df)
     reg = registry or SuiteRegistry().add(suite)
     if suite.name not in reg.suites:
         reg.add(suite)

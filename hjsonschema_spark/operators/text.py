@@ -58,7 +58,10 @@ def lang_id(col: Column) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc quality features + composite score in one projection."""
+    """Per-doc quality features + composite score in one projection.
+    (No fan_out here: measured A/B at sf0.1 showed the extra exchange +
+    stage costs MORE than the single-task regex work it parallelizes —
+    the per-row CPU is too small; contrast run_suite's row pass.)"""
     col = F.col(text_col)
     n_chars = F.length(col)
     # HOF-free forms (identical integers — see functions.columns):
