@@ -144,7 +144,7 @@ def _ref_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hjsonschema_spark.functions import fan_out
 
-    events = fan_out(_t(spark, sf_dir, "events"))
+    events = fan_out(_t(spark, sf_dir, "events"), by=("event_id",))
     vocab = cached_local_df(
         spark, tuple((v,) for v in EVENT_VOCAB), "event_type string"
     )
@@ -158,7 +158,7 @@ def _ref_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hjsonschema_spark.functions import fan_out
 
-    li = fan_out(_t(spark, sf_dir, "lineitem"))
+    li = fan_out(_t(spark, sf_dir, "lineitem"), by=("l_orderkey", "l_linenumber"))
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     aggs = []
     for c in cols:
@@ -647,7 +647,7 @@ def _draft4_validate_events_props(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from hjsonschema_spark.functions import fan_out
 
-    ev = fan_out(_t(spark, sf_dir, "events")).select("event_id", "props")
+    ev = fan_out(_t(spark, sf_dir, "events"), by=("event_id",)).select("event_id", "props")
     out = validate_json_column(ev, "props", _EVENTS_PROPS_SCHEMA)
     return out.select("event_id", "_valid")
 
@@ -662,7 +662,7 @@ def _draft4_validate_events_columnar(spark: SparkSession, sf_dir: str) -> DataFr
 
     from hjsonschema_spark.functions import fan_out
 
-    ev = fan_out(_t(spark, sf_dir, "events")).select("event_id", "props")
+    ev = fan_out(_t(spark, sf_dir, "events"), by=("event_id",)).select("event_id", "props")
     out = validate_json_column_auto(ev, "props", _EVENTS_PROPS_SCHEMA)
     return out.select("event_id", "_valid")
 
@@ -1086,7 +1086,7 @@ def _pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hjsonschema_spark.functions import fan_out
 
     doc = F.col("doc_id").cast("string")
-    derived = fan_out(_t(spark, sf_dir, "documents")).select(
+    derived = fan_out(_t(spark, sf_dir, "documents"), by=("doc_id",)).select(
         "doc_id",
         F.concat(
             F.col("text"),

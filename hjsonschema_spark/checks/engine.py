@@ -358,7 +358,7 @@ def run_suite(
     # the cached transcripts input are untouched.
     from hjsonschema_spark.functions import fan_out
 
-    df = fan_out(df)
+    df = fan_out(df, by=tuple(suite.key_columns))
     reg = registry or SuiteRegistry().add(suite)
     if suite.name not in reg.suites:
         reg.add(suite)

@@ -36,7 +36,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """Rows whose normalized text occurs more than once, with the
     canonical (min-id) representative. Output: id, fingerprint, group
     size, keep flag (False = row is a redundant copy)."""
-    df = fan_out(df)
+    df = fan_out(df, by=(id_col,))
     fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
     groups = fp.groupBy("fingerprint").agg(
         F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id")
@@ -79,7 +79,7 @@ def minhash_signatures(
     hash60(f"{i}:" + substr(md5(shingle),1,16)), computable
     bit-identically in DuckDB so the WHOLE LSH pipeline gets a SQL
     oracle; ~3x hash cost, same plan shape)."""
-    df = fan_out(df)
+    df = fan_out(df, by=(id_col,))
     # multiset mode: min over duplicate shingles equals min over the
     # distinct set, so MinHash skips the shingle dedup aggregation
     # entirely (one fewer pass; identical signatures)
@@ -207,7 +207,7 @@ def ngram_jaccard_pairs(
     """EXACT n-gram Jaccard for all pairs sharing >=1 shingle.
     Candidate generation via explode + self-join on the shingle —
     the LSH verifier / small-corpus oracle."""
-    df = fan_out(df)
+    df = fan_out(df, by=(id_col,))
     # join on a 64-bit shingle hash, not the string — 8-byte shuffle/
     # join keys instead of ~20-char strings (collisions: ~n²/2⁶⁴, nil)
     ex = exploded_shingles(df, id_col, text_col, k=shingle_k).select(
@@ -231,7 +231,7 @@ def simhash_signatures(
     """64-bit SimHash per doc via a vectorized Arrow UDF (numpy) —
     Python is unavoidable for the 64-way bit accumulation, so it runs
     Arrow-batched, never per-row."""
-    df = fan_out(df)
+    df = fan_out(df, by=(id_col,))
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -281,7 +281,7 @@ def simhash_signatures_columnar(
     unchanged, thresholds comparable to the 64-bit variant."""
     from hjsonschema_spark.functions import portable_hash60
 
-    df = fan_out(df)
+    df = fan_out(df, by=(id_col,))
     # materialize the hash ONCE per token row — the 60 per-bit aggregate
     # expressions below each reference it; inlining portable_hash60 here
     # would md5 every token 60 times
@@ -515,7 +515,7 @@ def embedding_near_duplicates(
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    emb = fan_out(emb)
+    emb = fan_out(emb, by=(id_col,))
     sketches = hyperplane_band_sketches(
         F.col(vec_col), dim, bands, planes_per_band, seed, planes=planes
     )
@@ -608,7 +608,7 @@ def incremental_dedup(
         raise ValueError("incremental_dedup: exactly one of state_path/state_table")
 
     spark = new_df.sparkSession
-    fp = fan_out(new_df).select(
+    fp = fan_out(new_df, by=(id_col,)).select(
         F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
     )
     batch_groups = fp.groupBy("fingerprint").agg(F.min(id_col).alias("_batch_keep"))

