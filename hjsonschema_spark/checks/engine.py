@@ -111,6 +111,9 @@ class ValidationResult:
     # already _failures == []) and the row branch would cost an extra
     # input scan
     _table_viols_unsorted: DataFrame | None = field(default=None, repr=False)
+    # True when run_suite fanned the input out (narrow/one-row-group
+    # scan): clean_rows then pins its row filter ABOVE that exchange
+    _fanned: bool = field(default=False, repr=False)
 
     def clean_rows(self, strict: bool = True) -> DataFrame:
         """The validate-and-filter surface: input rows that passed,
@@ -134,7 +137,24 @@ class ValidationResult:
         equality anti-join by construction; quarantine whole groups via
         group_verdicts() if that is the policy.
         """
-        base = self.checked.filter(F.size("_failures") == 0).drop("_failures")
+        passed_row = F.size("_failures") == 0
+        if self._fanned:
+            # PushDownPredicates substitutes the filter through the
+            # _failures projection AND the fan-out exchange, landing
+            # the whole fused row pass back in the row-group-limited
+            # scan stage (measured: 2.1s single-task of a 2.9s wall).
+            # Pin the filter above the exchange with an always-FALSE
+            # non-deterministic disjunct (spark_partition_id() is never
+            # negative): an OR cannot be split, so the whole predicate
+            # stays unpushable (guide §4.4's asNondeterministic
+            # technique — a nondeterministic CONJUNCT does not work,
+            # the optimizer splits conjunctions and pushes the
+            # deterministic half anyway; rand() comparisons are even
+            # bound-folded away). Rows are unchanged. Only applied when
+            # the input was actually fanned out, so well-partitioned
+            # production inputs keep full filter pushdown.
+            passed_row = passed_row | (F.spark_partition_id() < F.lit(0))
+        base = self.checked.filter(passed_row).drop("_failures")
         if not strict:
             return base
         keys = list(self.suite.key_columns)
@@ -358,7 +378,9 @@ def run_suite(
     # the cached transcripts input are untouched.
     from hjsonschema_spark.functions import fan_out
 
+    _df_in = df
     df = fan_out(df, by=tuple(suite.key_columns))
+    fanned = df is not _df_in
     reg = registry or SuiteRegistry().add(suite)
     if suite.name not in reg.suites:
         reg.add(suite)
@@ -752,4 +774,5 @@ def run_suite(
         _viols_unsorted=all_viols,
         _table_viols_unsorted=table_viols,
         _persisted=tuple(persisted),
+        _fanned=fanned,
     )
