@@ -368,19 +368,6 @@ def run_suite(
     every scan and shuffle below the sort (guide §2.4; measured on
     suite_violations_lineitem)."""
     suite.validate_config()  # schema validated before data (Draft4.hs:134-148)
-    # Adaptive scan fan-out (guide §2.5 input skew / §6 split sizing):
-    # a small single-file parquet input yields as few as ONE busy scan
-    # task (splits are byte-ranges but rows live in one row group), so
-    # the whole fused row pass ran single-core (measured: 2.2s of a
-    # 3.0s clean_rows wall in one task at sf0.1). fan_out round-robins
-    # narrow inputs to defaultParallelism and is a NO-OP whenever the
-    # input already has enough partitions — real multi-file tables and
-    # the cached transcripts input are untouched.
-    from hjsonschema_spark.functions import fan_out
-
-    _df_in = df
-    df = fan_out(df, by=tuple(suite.key_columns))
-    fanned = df is not _df_in
     reg = registry or SuiteRegistry().add(suite)
     if suite.name not in reg.suites:
         reg.add(suite)
@@ -544,6 +531,26 @@ def run_suite(
         raise ConfigInvalid(f"unsupported checks: {[type(c).__name__ for c in missing]}")
 
     keys = suite.key_columns
+    # Adaptive scan fan-out (guide §2.5 input skew / §6 split sizing):
+    # a small single-file parquet input yields as few as ONE busy scan
+    # task (splits are byte-ranges but rows live in one row group), so
+    # the whole fused row pass ran single-core (measured: 2.2s of a
+    # 3.0s clean_rows wall in one task at sf0.1). fan_out hash-
+    # repartitions narrow inputs to defaultParallelism and is a NO-OP
+    # whenever the input already has enough partitions — real
+    # multi-file tables and the cached transcripts input are untouched.
+    # Applied ONLY when the suite has row checks: per-row CPU work is
+    # what the fan-out parallelizes; aggregation-only suites collapse
+    # their data map-side, and shuffling the raw input to parallelize a
+    # cheap partial agg measured as a net LOSS (drift_suite +7%,
+    # conversation_checks +15% before this guard).
+    fanned = False
+    if row_checks:
+        from hjsonschema_spark.functions import fan_out
+
+        _df_in = df
+        df = fan_out(df, by=tuple(suite.key_columns))
+        fanned = df is not _df_in
     checked = C.compile_fused_pass(df, row_checks)
     # NOTE: the full `checked` frame (input + _failures) is never
     # persisted — it carries the whole payload (text included), so a
