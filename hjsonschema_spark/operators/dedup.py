@@ -124,6 +124,28 @@ def _minhash_exprs(num_hashes: int, seed: int, hash_mode: str) -> tuple:
     return bundle
 
 
+def _minhash_est_expr(num_hashes: int) -> Column:
+    """Signature-agreement rate as `num_hashes` codegen-safe equality
+    terms over sig_a/sig_b (memoized: ~192 py4j round trips per build
+    otherwise). Signature slots are non-null (every doc has >=1
+    shingle), so when/otherwise(0) matches the filter(zip_with) count."""
+    from hjsonschema_spark.checks.compile import _ctx_id
+
+    key = (_ctx_id(), "est", num_hashes)
+    est = _MINHASH_MEMO.get(key)
+    if est is None:
+        if len(_MINHASH_MEMO) >= 64:
+            _MINHASH_MEMO.clear()
+        agree = None
+        for i in range(1, num_hashes + 1):
+            t = F.when(
+                F.element_at("sig_a", i) == F.element_at("sig_b", i), 1
+            ).otherwise(0)
+            agree = t if agree is None else agree + t
+        est = _MINHASH_MEMO[key] = agree / F.lit(float(num_hashes))
+    return est
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -183,10 +205,12 @@ def minhash_lsh_pairs(
     # SortAggregate with a full sort on both sides of its exchange —
     # plans/r06 minhash before-plan (46)-(50)), and the threshold
     # prunes non-pairs before the exchange instead of after it.
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b))
-        / F.lit(float(num_hashes))
-    )
+    # Agreement count as a flat sum of element_at equality terms, not
+    # size(filter(zip_with(...))): the HOF chain is CodegenFallback and
+    # runs interpreted per banded match — the one per-candidate hot
+    # expression in this pipeline. Integer count / num_hashes is
+    # bit-identical either way.
+    est = _minhash_est_expr(num_hashes)
     return (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))

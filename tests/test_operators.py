@@ -77,6 +77,29 @@ def test_minhash_lsh_md5_mode(spark, docs):
         assert approx[pair] == 1.0  # normalization-equal docs agree on all 64
 
 
+def test_minhash_est_expr_matches_hof_form(spark):
+    """The codegen-safe element_at-sum agreement estimate must equal the
+    size(filter(zip_with(...))) HOF form it replaced, including the
+    all-agree and none-agree extremes."""
+    sig_a = list(range(8))
+    cases = [
+        sig_a,                      # all 8 agree
+        [9] * 8,                    # none agree
+        [0, 1, 9, 3, 9, 5, 9, 7],   # 5 of 8 agree
+    ]
+    df = spark.createDataFrame(
+        [(sig_a, b) for b in cases], "sig_a array<bigint>, sig_b array<bigint>"
+    )
+    hof = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b))
+        / F.lit(8.0)
+    )
+    rows = df.select(
+        dedup._minhash_est_expr(8).alias("est"), hof.alias("ref")
+    ).collect()
+    assert [r["est"] for r in rows] == [r["ref"] for r in rows] == [1.0, 0.0, 0.625]
+
+
 def test_portable_hash60_matches_python_md5(spark):
     import hashlib
 
