@@ -1200,28 +1200,28 @@ def run_ks_drift(df: DataFrame, c: KSDrift, ref: DataFrame) -> DataFrame:
     col = c.column
     a = df.na.drop(subset=[col]).select(F.col(col).cast("double").alias("x"))
     b = ref.na.drop(subset=[col]).select(F.col(col).cast("double").alias("x"))
-    bounds = a.unionByName(b).agg(F.min("x").alias("_lo"), F.max("x").alias("_hi"))
+    # ONE tagged union feeds both the bounds agg and the bucket counts:
+    # the per-side bucketed() formulation scanned the input 6 times
+    # (each side's groupBy dragged its own copy of the 2-scan bounds
+    # subtree — plans/r06 drift before-plan (45)-(54)); this shape
+    # scans it 4 times (2 for bounds, 2 for counts), and the two
+    # per-side histograms become conditional sums in a single groupBy —
+    # no full-outer histogram join. Counts, bucket set, and therefore
+    # D / p / passed are identical (guide §1.2: fewer passes).
+    u = a.withColumn("_g", F.lit(1)).unionByName(b.withColumn("_g", F.lit(0)))
+    bounds = u.agg(F.min("x").alias("_lo"), F.max("x").alias("_hi"))
 
     nb = int(c.buckets)
-
-    def bucketed(side: DataFrame, tag: str) -> DataFrame:
-        t = side.crossJoin(F.broadcast(bounds))
-        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nb))
-        # try_divide: degenerate range (hi == lo) => NULL => bucket 0
-        bkt = F.coalesce(
-            F.least(F.lit(nb - 1), F.floor(F.try_divide(F.col("x") - F.col("_lo"), width)).cast("int")),
-            F.lit(0),
-        )
-        return t.groupBy(bkt.alias("_b")).agg(F.count(F.lit(1)).alias(tag))
-
-    hist = (
-        bucketed(a, "_na")
-        .join(bucketed(b, "_nb"), "_b", "full")
-        .select(
-            "_b",
-            F.coalesce("_na", F.lit(0)).alias("_na"),
-            F.coalesce("_nb", F.lit(0)).alias("_nb"),
-        )
+    t = u.crossJoin(F.broadcast(bounds))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(nb))
+    # try_divide: degenerate range (hi == lo) => NULL => bucket 0
+    bkt = F.coalesce(
+        F.least(F.lit(nb - 1), F.floor(F.try_divide(F.col("x") - F.col("_lo"), width)).cast("int")),
+        F.lit(0),
+    )
+    hist = t.groupBy(bkt.alias("_b")).agg(
+        F.sum("_g").alias("_na"),
+        F.sum(F.lit(1) - F.col("_g")).alias("_nb"),
     )
     w_cum = Window.partitionBy().orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
