@@ -333,7 +333,9 @@ def _simhash_columnar_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from hjsonschema_spark.functions import fan_out_if_big
+
+    docs = fan_out_if_big(_t(spark, sf_dir, "documents"), by=("doc_id",))
     return docs.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -342,7 +344,9 @@ def _token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from hjsonschema_spark.functions import fan_out_if_big
+
+    docs = fan_out_if_big(_t(spark, sf_dir, "documents"), by=("doc_id",))
     return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 

@@ -6,6 +6,7 @@ from hjsonschema_spark.functions.columns import (  # noqa: F401
     cosine_similarity,
     doc_fingerprint,
     fan_out,
+    fan_out_if_big,
     l2_norm,
     normalize_text,
     portable_hash60,

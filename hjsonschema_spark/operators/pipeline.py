@@ -108,8 +108,11 @@ def repetition_signals(
     data is shuffled once on (id, bigram) and once on id — both
     map-side-combinable, no windows over whole docs' exploded rows.
     """
-    from hjsonschema_spark.functions.columns import tokens
+    from hjsonschema_spark.functions.columns import fan_out_if_big, tokens
 
+    # size-gated: line/bigram extraction is per-row CPU, single-core on
+    # a big single-file input without the fan-out
+    df = fan_out_if_big(df, by=(id_col,))
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
     line_stats = df.select(
         F.col(id_col),

@@ -59,9 +59,14 @@ def lang_id(col: Column) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features + composite score in one projection.
-    (No fan_out here: measured A/B at sf0.1 showed the extra exchange +
-    stage costs MORE than the single-task regex work it parallelizes —
-    the per-row CPU is too small; contrast run_suite's row pass.)"""
+    (Size-GATED fan_out: the unconditional exchange was a measured
+    loss at sf0.1 — 0.78s alone vs 1.4s fanned — but the no-fan-out
+    shape ran 9x the wall single-core on a 10x single-file input;
+    fan_out_if_big keeps the scan-stage shape below ~1 MiB of input
+    and parallelizes the regex work above it.)"""
+    from hjsonschema_spark.functions import fan_out_if_big
+
+    df = fan_out_if_big(df)
     col = F.col(text_col)
     n_chars = F.length(col)
     # HOF-free forms (identical integers — see functions.columns):
@@ -106,8 +111,12 @@ def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     shuffle carries one row per DISTINCT token per task, not per
     occurrence), then a global top-k — Spark executes orderBy().limit(k)
     as TakeOrderedAndProject (per-partition heaps + driver merge of
-    k-row heads), never a full sort of the token dictionary."""
-    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    k-row heads), never a full sort of the token dictionary.
+    Size-gated fan-out: the tokenize+explode is the per-row CPU —
+    single-core on a big single-file input without it."""
+    from hjsonschema_spark.functions import fan_out_if_big
+
+    toks = fan_out_if_big(df).select(F.explode(tokens(F.col(text_col))).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
 

@@ -77,6 +77,30 @@ def test_minhash_lsh_md5_mode(spark, docs):
         assert approx[pair] == 1.0  # normalization-equal docs agree on all 64
 
 
+def test_fan_out_if_big_size_gate(spark, docs, tmp_path):
+    """Below the byte threshold (or with an unknown size estimate) the
+    input shape is untouched; above it the frame is repartitioned with
+    identical rows. 64 is a partition count distinct from both the
+    input's and defaultParallelism, proving the gate actually fired."""
+    from hjsonschema_spark.functions import fan_out_if_big
+
+    # local frames have no size statistics (Long.MaxValue sentinel):
+    # unknown must mean "keep the shape", never "huge"
+    unknown = fan_out_if_big(docs, by=("doc_id",), min_bytes=0, min_partitions=64)
+    assert unknown.rdd.getNumPartitions() == docs.rdd.getNumPartitions()
+
+    p = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    small = fan_out_if_big(scan, by=("doc_id",), min_bytes=1 << 30, min_partitions=64)
+    assert small.rdd.getNumPartitions() == scan.rdd.getNumPartitions()
+    forced = fan_out_if_big(scan, by=("doc_id",), min_bytes=1, min_partitions=64)
+    assert forced.rdd.getNumPartitions() == 64
+    assert sorted(r["doc_id"] for r in forced.collect()) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+
+
 def test_minhash_est_expr_matches_hof_form(spark):
     """The codegen-safe element_at-sum agreement estimate must equal the
     size(filter(zip_with(...))) HOF form it replaced, including the
