@@ -556,21 +556,62 @@ def _fused_failures_column(checks: tuple) -> Column:
     return _concat_conditional(pairs, f"struct<{FAILURE_STRUCT}>")
 
 
-def compile_fused_pass(df: DataFrame, checks: list[RowCheck]) -> DataFrame:
+def _pushdown_barrier(col: Column) -> Column:
+    """Append a never-firing NONDETERMINISTIC term to the fused array so
+    PushDownPredicates cannot substitute the expression through this
+    projection. Catalyst's InferFiltersFromGenerate adds
+    ``size(_failures) > 0`` below the violations explode, and pushdown
+    then substitutes the ENTIRE fused expression through the fan-out
+    exchange into the (row-group-limited, effectively single-task) scan
+    stage — serializing the whole row pass AND evaluating it twice
+    (Filter below the exchange + Project above it; measured: one 2.7s-CPU
+    task of a 6.6s suite_violations wall carried 600k input rows while
+    31 cores idled). Same defect class as the clean_rows ``_fanned`` pin,
+    which covers only the filter clean_rows itself builds — this covers
+    the inferred one. spark_partition_id() is never negative, so the
+    appended term is always the empty array and the output is
+    byte-identical; the CASE branches differ structurally so constant
+    folding cannot erase the marker. Applied ONLY when run_suite
+    actually fanned out (well-partitioned production inputs keep full
+    pushdown semantics)."""
+    ghost = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("check"),
+            F.lit(None).cast("string").alias("column"),
+            F.lit(None).cast("string").alias("value"),
+        )
+    )
+    empty = F.lit([]).cast(f"array<struct<{FAILURE_STRUCT}>>")
+    return F.concat(
+        col, F.when(F.spark_partition_id() < F.lit(0), ghost).otherwise(empty)
+    )
+
+
+def compile_fused_pass(
+    df: DataFrame, checks: list[RowCheck], barrier: bool = False
+) -> DataFrame:
     """ALL row checks in one projection; appends ``_failures``:
     array<struct<check,column,value>> of the failed checks for the row.
     All validators run, all failures collected — no short-circuit
     (src/JSONSchema/Types.hs:20-26). The assembled expression is
-    memoized per (SparkContext, check configs) — see _FUSED_MEMO."""
+    memoized per (SparkContext, check configs) — see _FUSED_MEMO.
+    barrier=True additionally blocks predicate pushdown through the
+    projection (see _pushdown_barrier) — set by run_suite iff it fanned
+    the input out."""
     try:
-        key = (_ctx_id(), tuple(checks))
+        key = (_ctx_id(), tuple(checks), barrier)
         col = _FUSED_MEMO.get(key)
         if col is None:
             if len(_FUSED_MEMO) >= _MEMO_CAP:
                 _FUSED_MEMO.clear()
-            col = _FUSED_MEMO[key] = _fused_failures_column(tuple(checks))
+            col = _fused_failures_column(tuple(checks))
+            if barrier:
+                col = _pushdown_barrier(col)
+            _FUSED_MEMO[key] = col
     except TypeError:  # unhashable custom check config: build unmemoized
         col = _fused_failures_column(tuple(checks))
+        if barrier:
+            col = _pushdown_barrier(col)
     return df.withColumn("_failures", col)
 
 

@@ -551,7 +551,11 @@ def run_suite(
         _df_in = df
         df = fan_out(df, by=tuple(suite.key_columns))
         fanned = df is not _df_in
-    checked = C.compile_fused_pass(df, row_checks)
+    # barrier=fanned: keep Catalyst's inferred size(_failures)>0 filter
+    # (InferFiltersFromGenerate, below the violations explode) from
+    # being substituted through the fan-out exchange into the serial
+    # scan task — see compile._pushdown_barrier
+    checked = C.compile_fused_pass(df, row_checks, barrier=fanned)
     # NOTE: the full `checked` frame (input + _failures) is never
     # persisted — it carries the whole payload (text included), so a
     # cache write costs more than re-running the codegen'd fused pass.
