@@ -79,18 +79,36 @@ def minhash_signatures(
     hash60(f"{i}:" + substr(md5(shingle),1,16)), computable
     bit-identically in DuckDB so the WHOLE LSH pipeline gets a SQL
     oracle; ~3x hash cost, same plan shape)."""
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_k, seed, hash_mode)
+    _, sig = _minhash_exprs(num_hashes, seed, hash_mode)
+    return wide.select(F.col(id_col), sig.alias("signature"))
+
+
+def _minhash_wide(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+    seed: int,
+    hash_mode: str,
+) -> DataFrame:
+    """The signature aggregation WIDE: (id, _m0.._m{n-1}) — one long
+    column per permutation, before array assembly. minhash_lsh_pairs
+    derives band keys from these columns directly (a slice of an
+    assembled array re-materializes the 64-element array per band —
+    16x per row — and costs the optimizer 16 slice/transform trees)."""
     df = fan_out(df, by=(id_col,))
     # multiset mode: min over duplicate shingles equals min over the
     # distinct set, so MinHash skips the shingle dedup aggregation
     # entirely (one fewer pass; identical signatures)
     ex = exploded_shingles(df, id_col, text_col, k=shingle_k, distinct=False)
-    aggs, sig = _minhash_exprs(num_hashes, seed, hash_mode)
+    aggs, _ = _minhash_exprs(num_hashes, seed, hash_mode)
     if hash_mode == "md5":
         ex = ex.select(F.col(id_col), F.substring(F.md5("shingle"), 1, 16).alias("_b"))
     else:
         ex = ex.select(F.col(id_col), F.xxhash64("shingle", F.lit(seed)).alias("_h"))
-    wide = ex.groupBy(id_col).agg(*aggs)
-    return wide.select(F.col(id_col), sig.alias("signature"))
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 _MINHASH_MEMO: dict = {}
@@ -122,6 +140,39 @@ def _minhash_exprs(num_hashes: int, seed: int, hash_mode: str) -> tuple:
         sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
         bundle = _MINHASH_MEMO[key] = (tuple(aggs), sig)
     return bundle
+
+
+def _band_hash_expr(num_hashes: int, bands: int, hash_mode: str) -> Column:
+    """array of per-band LSH keys built from the WIDE signature columns
+    (_m0.._m{n-1}) directly. The previous form sliced the assembled
+    signature array per band — transform(slice(array(_m0.._m63), ...))
+    ×16 — re-materializing the 64-element array for every band at
+    runtime and handing the optimizer 16 slice/transform trees. Band
+    key strings are identical (concat_ws over the same casts in the
+    same order), so md5/xxhash64 band keys — and therefore buckets,
+    pairs, and the DuckDB oracle — are unchanged. Memoized like the
+    other minhash bundles (~0.2 s of py4j per build otherwise)."""
+    from hjsonschema_spark.checks.compile import _ctx_id
+
+    key = (_ctx_id(), "bands", num_hashes, bands, hash_mode)
+    arr = _MINHASH_MEMO.get(key)
+    if arr is None:
+        if len(_MINHASH_MEMO) >= 64:
+            _MINHASH_MEMO.clear()
+        rows = num_hashes // bands
+
+        def joined(b: int) -> Column:
+            return F.concat_ws(
+                ",",
+                *[F.col(f"_m{i}").cast("string") for i in range(b * rows, (b + 1) * rows)],
+            )
+
+        if hash_mode == "md5":
+            arr = F.array(*[F.md5(joined(b)) for b in range(bands)])
+        else:
+            arr = F.array(*[F.xxhash64(joined(b), F.lit(b)) for b in range(bands)])
+        _MINHASH_MEMO[key] = arr
+    return arr
 
 
 def _minhash_est_expr(num_hashes: int) -> Column:
@@ -169,21 +220,13 @@ def minhash_lsh_pairs(
     hash family (band key = md5 of the comma-joined band slice) — the
     DuckDB-oracle-checkable mode; see ``minhash_signatures``.
     """
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed, hash_mode)
-    joined = lambda b: F.concat_ws(  # noqa: E731
-        ",", F.transform(F.slice("signature", b * rows + 1, rows), lambda v: v.cast("string"))
-    )
-    if hash_mode == "md5":
-        band_hash = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)), lambda b: F.md5(joined(b))
-        )
-    else:
-        band_hash = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)), lambda b: F.xxhash64(joined(b), b)
-        )
-    banded = sigs.select(
-        id_col, "signature", F.posexplode(band_hash).alias("band_idx", "band_hash")
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_k, seed, hash_mode)
+    _, sig = _minhash_exprs(num_hashes, seed, hash_mode)
+    band_hash = _band_hash_expr(num_hashes, bands, hash_mode)
+    banded = wide.select(
+        F.col(id_col),
+        sig.alias("signature"),
+        F.posexplode(band_hash).alias("band_idx", "band_hash"),
     )
     # cap pathological buckets (boilerplate): keep first max_bucket docs
     from pyspark.sql import Window
