@@ -79,36 +79,18 @@ def minhash_signatures(
     hash60(f"{i}:" + substr(md5(shingle),1,16)), computable
     bit-identically in DuckDB so the WHOLE LSH pipeline gets a SQL
     oracle; ~3x hash cost, same plan shape)."""
-    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_k, seed, hash_mode)
-    _, sig = _minhash_exprs(num_hashes, seed, hash_mode)
-    return wide.select(F.col(id_col), sig.alias("signature"))
-
-
-def _minhash_wide(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int,
-    shingle_k: int,
-    seed: int,
-    hash_mode: str,
-) -> DataFrame:
-    """The signature aggregation WIDE: (id, _m0.._m{n-1}) — one long
-    column per permutation, before array assembly. minhash_lsh_pairs
-    derives band keys from these columns directly (a slice of an
-    assembled array re-materializes the 64-element array per band —
-    16x per row — and costs the optimizer 16 slice/transform trees)."""
     df = fan_out(df, by=(id_col,))
     # multiset mode: min over duplicate shingles equals min over the
     # distinct set, so MinHash skips the shingle dedup aggregation
     # entirely (one fewer pass; identical signatures)
     ex = exploded_shingles(df, id_col, text_col, k=shingle_k, distinct=False)
-    aggs, _ = _minhash_exprs(num_hashes, seed, hash_mode)
+    aggs, sig = _minhash_exprs(num_hashes, seed, hash_mode)
     if hash_mode == "md5":
         ex = ex.select(F.col(id_col), F.substring(F.md5("shingle"), 1, 16).alias("_b"))
     else:
         ex = ex.select(F.col(id_col), F.xxhash64("shingle", F.lit(seed)).alias("_h"))
-    return ex.groupBy(id_col).agg(*aggs)
+    wide = ex.groupBy(id_col).agg(*aggs)
+    return wide.select(F.col(id_col), sig.alias("signature"))
 
 
 _MINHASH_MEMO: dict = {}
@@ -143,15 +125,17 @@ def _minhash_exprs(num_hashes: int, seed: int, hash_mode: str) -> tuple:
 
 
 def _band_hash_expr(num_hashes: int, bands: int, hash_mode: str) -> Column:
-    """array of per-band LSH keys built from the WIDE signature columns
-    (_m0.._m{n-1}) directly. The previous form sliced the assembled
-    signature array per band — transform(slice(array(_m0.._m63), ...))
-    ×16 — re-materializing the 64-element array for every band at
-    runtime and handing the optimizer 16 slice/transform trees. Band
-    key strings are identical (concat_ws over the same casts in the
-    same order), so md5/xxhash64 band keys — and therefore buckets,
-    pairs, and the DuckDB oracle — are unchanged. Memoized like the
-    other minhash bundles (~0.2 s of py4j per build otherwise)."""
+    """array of per-band LSH keys via flat element_at terms over the
+    materialized ``signature`` attribute (assembled once per doc in the
+    aggregation's result projection). The previous form sliced the
+    array per band through a nested transform lambda —
+    transform(slice(signature, ...), v -> cast(v)) ×16 — two lambda
+    levels per band for the optimizer and an array copy per slice at
+    runtime; element_at is a flat O(1) read of the same slots. Band key
+    strings are identical (concat_ws over the same casts in the same
+    order), so md5/xxhash64 band keys — and therefore buckets, pairs,
+    and the DuckDB oracle — are unchanged. Memoized like the other
+    minhash bundles (~0.2 s of py4j per build otherwise)."""
     from hjsonschema_spark.checks.compile import _ctx_id
 
     key = (_ctx_id(), "bands", num_hashes, bands, hash_mode)
@@ -164,7 +148,10 @@ def _band_hash_expr(num_hashes: int, bands: int, hash_mode: str) -> Column:
         def joined(b: int) -> Column:
             return F.concat_ws(
                 ",",
-                *[F.col(f"_m{i}").cast("string") for i in range(b * rows, (b + 1) * rows)],
+                *[
+                    F.element_at("signature", i + 1).cast("string")
+                    for i in range(b * rows, (b + 1) * rows)
+                ],
             )
 
         if hash_mode == "md5":
@@ -220,13 +207,10 @@ def minhash_lsh_pairs(
     hash family (band key = md5 of the comma-joined band slice) — the
     DuckDB-oracle-checkable mode; see ``minhash_signatures``.
     """
-    wide = _minhash_wide(df, text_col, id_col, num_hashes, shingle_k, seed, hash_mode)
-    _, sig = _minhash_exprs(num_hashes, seed, hash_mode)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed, hash_mode)
     band_hash = _band_hash_expr(num_hashes, bands, hash_mode)
-    banded = wide.select(
-        F.col(id_col),
-        sig.alias("signature"),
-        F.posexplode(band_hash).alias("band_idx", "band_hash"),
+    banded = sigs.select(
+        id_col, "signature", F.posexplode(band_hash).alias("band_idx", "band_hash")
     )
     # cap pathological buckets (boilerplate): keep first max_bucket docs
     from pyspark.sql import Window
