@@ -124,6 +124,35 @@ def test_minhash_est_expr_matches_hof_form(spark):
     assert [r["est"] for r in rows] == [r["ref"] for r in rows] == [1.0, 0.0, 0.625]
 
 
+def test_band_hash_expr_matches_slice_form(spark):
+    """The flat element_at band-key expression must equal the
+    transform(slice(signature, ...)) lambda form it replaced, for both
+    hash families — same joined strings, same band keys, same buckets."""
+    sig = [(-3) ** i + i for i in range(8)]  # mixed-sign longs
+    df = spark.createDataFrame([(sig,)], "signature array<bigint>")
+    rows_per_band = 2
+    for mode in ("xxhash64", "md5"):
+        joined = lambda b: F.concat_ws(  # noqa: E731
+            ",",
+            F.transform(
+                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        if mode == "md5":
+            ref = F.transform(
+                F.sequence(F.lit(0), F.lit(3)), lambda b: F.md5(joined(b))
+            )
+        else:
+            ref = F.transform(
+                F.sequence(F.lit(0), F.lit(3)), lambda b: F.xxhash64(joined(b), b)
+            )
+        got, want = df.select(
+            dedup._band_hash_expr(8, 4, mode).alias("got"), ref.alias("want")
+        ).first()
+        assert got == want, (mode, got, want)
+
+
 def test_portable_hash60_matches_python_md5(spark):
     import hashlib
 

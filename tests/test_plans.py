@@ -79,6 +79,23 @@ def test_row_pass_single_scan_for_all_checks(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
+def test_fused_filter_stays_above_fanout_exchange(suite_plan):
+    """The inferred size(_failures)>0 filter (InferFiltersFromGenerate)
+    must NOT be substituted through the fan-out exchange into the scan
+    stage: that serializes the whole fused row pass into the
+    row-group-limited scan task and evaluates it twice (the defect the
+    compile._pushdown_barrier marker pins away when run_suite fans
+    out). The fused expression may appear in exactly one place — the
+    Project above the exchange; every Filter condition must be free of
+    it, and the cheap size() test on the materialized column must be
+    present instead."""
+    conds = re.findall(r"^Condition : (.*)$", suite_plan, re.M)
+    assert conds, "no Filter nodes found in plan"
+    for c in conds:
+        assert "concat(CASE WHEN" not in c, f"fused expression inside a Filter: {c[:120]}"
+    assert any(re.search(r"size\(_failures#\d+, false\) > 0", c) for c in conds), conds
+
+
 def test_no_unconditional_broadcast_of_dup_groups(spark):
     """Round-1 judge item: the duplicate-group tag-back join must not
     carry a broadcast HINT (AQE may still choose broadcast at runtime,
