@@ -29,7 +29,13 @@ def fan_out(
     synthetic-key rule."""
     spark = df.sparkSession
     n = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    # Fire only when the exchange at least ~doubles the achievable
+    # parallelism: repartitioning a 31-partition input to 32 moves the
+    # FULL row payload through a shuffle to gain one core (measured on
+    # the cached 31-partition transcripts input — pure overhead), while
+    # a 1- or 4-partition scan gains 8-32x. Below half of target ⇒
+    # worth it; at/above ⇒ the input is already effectively parallel.
+    if df.rdd.getNumPartitions() < max(2, n // 2):
         if by:
             return df.repartition(n, *[F.col(c) for c in by])
         return df.repartition(n)

@@ -101,6 +101,24 @@ def test_fan_out_if_big_size_gate(spark, docs, tmp_path):
     )
 
 
+def test_fan_out_half_parallelism_gate(spark, docs):
+    """fan_out fires only when the exchange at least ~doubles the
+    achievable parallelism: a 1-partition input fans out to the target,
+    an input already at/above half the target keeps its shape (a
+    repartition from 31 to 32 moves the full payload to gain one core —
+    measured pure overhead on the cached headline input)."""
+    from hjsonschema_spark.functions import fan_out
+
+    one = docs.coalesce(1)
+    assert fan_out(one, min_partitions=32, by=("doc_id",)).rdd.getNumPartitions() == 32
+    near = docs.repartition(31, "doc_id")
+    assert fan_out(near, min_partitions=32, by=("doc_id",)) is near
+    half = docs.repartition(16, "doc_id")
+    assert fan_out(half, min_partitions=32, by=("doc_id",)) is half
+    below = docs.repartition(15, "doc_id")
+    assert fan_out(below, min_partitions=32, by=("doc_id",)).rdd.getNumPartitions() == 32
+
+
 def test_minhash_est_expr_matches_hof_form(spark):
     """The codegen-safe element_at-sum agreement estimate must equal the
     size(filter(zip_with(...))) HOF form it replaced, including the
