@@ -110,9 +110,9 @@ def test_no_unconditional_broadcast_of_dup_groups(spark):
 
 
 def test_pii_documents_zero_exchanges(spark):
-    """PII scan + redaction are one projection — any hash/range
+    """PII scan + redaction are one projection — a Join or a range
     Exchange here means someone reintroduced the two-frame join
-    (PLANS.md pii_documents audit). The adaptive fan_out round-robin
+    (PLANS.md pii_documents audit). The adaptive keyed fan_out
     (scan parallelism for narrow single-file inputs; a no-op on real
     multi-split tables) is the one permitted exchange."""
     import __spark_entry__ as E
