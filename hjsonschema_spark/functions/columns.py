@@ -27,19 +27,28 @@ def fan_out(
     needs no sort. Downstream windows/aggregations keyed on a prefix of
     ``by`` can also reuse the clustering. Guide §2.5's deterministic-
     synthetic-key rule."""
+    from pyspark import StorageLevel
+
     spark = df.sparkSession
     n = min_partitions or spark.sparkContext.defaultParallelism
-    # Fire only when the exchange at least ~doubles the achievable
-    # parallelism: repartitioning a 31-partition input to 32 moves the
-    # FULL row payload through a shuffle to gain one core (measured on
-    # the cached 31-partition transcripts input — pure overhead), while
-    # a 1- or 4-partition scan gains 8-32x. Below half of target ⇒
-    # worth it; at/above ⇒ the input is already effectively parallel.
-    if df.rdd.getNumPartitions() < max(2, n // 2):
-        if by:
-            return df.repartition(n, *[F.col(c) for c in by])
-        return df.repartition(n)
-    return df
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts >= n:
+        return df
+    # A PERSISTED input's partition count reflects real row placement
+    # (cache blocks), so an exchange only pays off when it at least
+    # ~doubles the achievable parallelism: repartitioning the cached
+    # 31-partition headline input to 32 moved the FULL row payload
+    # through a shuffle to gain one core (measured pure overhead).
+    # A FILE SCAN's count does not — splits are byte ranges, but rows
+    # live in row groups: a 105 MB single-row-group file reports 26
+    # splits while every row lands in ONE task (measured: skipping the
+    # fan-out there reserialized the whole fused pass, 31s vs 12s).
+    # So near-parallel no-op applies ONLY where the count is honest.
+    if df.storageLevel != StorageLevel.NONE and n_parts >= max(2, n // 2):
+        return df
+    if by:
+        return df.repartition(n, *[F.col(c) for c in by])
+    return df.repartition(n)
 
 
 def fan_out_if_big(

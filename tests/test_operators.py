@@ -102,21 +102,43 @@ def test_fan_out_if_big_size_gate(spark, docs, tmp_path):
 
 
 def test_fan_out_half_parallelism_gate(spark, docs):
-    """fan_out fires only when the exchange at least ~doubles the
-    achievable parallelism: a 1-partition input fans out to the target,
-    an input already at/above half the target keeps its shape (a
-    repartition from 31 to 32 moves the full payload to gain one core —
-    measured pure overhead on the cached headline input)."""
+    """For PERSISTED inputs (honest partition counts — cache blocks)
+    fan_out no-ops at/above half the target parallelism: repartitioning
+    a cached 31-partition input to 32 moves the full payload to gain one
+    core (measured pure overhead on the cached headline input). For
+    everything else the count can lie (a single-row-group file reports
+    one split per byte range while all rows land in one task), so the
+    conservative below-target rule stays."""
     from hjsonschema_spark.functions import fan_out
 
     one = docs.coalesce(1)
     assert fan_out(one, min_partitions=32, by=("doc_id",)).rdd.getNumPartitions() == 32
+    # uncached near-parallel: conservative, still fires
     near = docs.repartition(31, "doc_id")
-    assert fan_out(near, min_partitions=32, by=("doc_id",)) is near
-    half = docs.repartition(16, "doc_id")
-    assert fan_out(half, min_partitions=32, by=("doc_id",)) is half
-    below = docs.repartition(15, "doc_id")
-    assert fan_out(below, min_partitions=32, by=("doc_id",)).rdd.getNumPartitions() == 32
+    assert fan_out(near, min_partitions=32, by=("doc_id",)).rdd.getNumPartitions() == 32
+    # cached near-parallel and half-parallel: honest count, no-op
+    near_c = docs.repartition(31, "doc_id").persist()
+    try:
+        near_c.count()
+        assert fan_out(near_c, min_partitions=32, by=("doc_id",)) is near_c
+        half_c = docs.repartition(16, "doc_id").persist()
+        try:
+            half_c.count()
+            assert fan_out(half_c, min_partitions=32, by=("doc_id",)) is half_c
+        finally:
+            half_c.unpersist()
+        # cached but below half: fires
+        low_c = docs.repartition(15, "doc_id").persist()
+        try:
+            low_c.count()
+            assert fan_out(low_c, min_partitions=32, by=("doc_id",)).rdd.getNumPartitions() == 32
+        finally:
+            low_c.unpersist()
+    finally:
+        near_c.unpersist()
+    # at/above target: always a no-op
+    full = docs.repartition(32, "doc_id")
+    assert fan_out(full, min_partitions=32, by=("doc_id",)) is full
 
 
 def test_minhash_est_expr_matches_hof_form(spark):
